@@ -1,0 +1,28 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+This is the TPU-world "fake backend" for data-parallel / collective logic
+(see SURVEY.md §4). The environment pins JAX_PLATFORMS=axon (the real TPU),
+so we must override via jax.config, and XLA_FLAGS must be set before the
+backend initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,319 @@
+"""Core transformer building blocks (flax), TPU-first.
+
+One parametric post-LN encoder block replaces the reference's three
+copy-pasted towers (reference: modules/module_bert.py:149-281,
+modules/module_visual.py:133-265, modules/module_cross.py:140-272 are
+byte-identical apart from class names).
+
+Numerical contract with the reference:
+  - erf-GELU                       (reference: modules/until_module.py:28-33)
+  - TF-style LayerNorm, eps=1e-12 inside the sqrt
+                                   (reference: modules/until_module.py:40-53)
+  - additive attention-mask bias (1 - mask) * -10000
+                                   (reference: modules/module_bert.py:429-437)
+  - post-LN residual blocks        (reference: modules/module_bert.py:200-264)
+
+TPU-first details: matmuls run in ``compute_dtype`` (bf16 on TPU) with fp32
+accumulation via ``preferred_element_type``; LayerNorm statistics are always
+fp32; the attention core can be swapped for the fused Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def gelu_erf(x: jax.Array) -> jax.Array:
+    """Exact (erf-based) GELU, matching reference modules/until_module.py:28-33."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACT2FN = {
+    "gelu": gelu_erf,
+    "relu": jax.nn.relu,
+    "swish": jax.nn.swish,
+}
+
+MASK_BIAS = -10000.0
+LN_EPS = 1e-12
+
+
+def additive_mask_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, L] 0/1 mask -> [B, 1, 1, L] additive bias (0 keep, -10000 drop).
+
+    Reference: modules/module_bert.py:429-437.
+    """
+    m = mask.astype(dtype)
+    return ((1.0 - m) * MASK_BIAS)[:, None, None, :]
+
+
+class LayerNormTF(nn.Module):
+    """TF-style LayerNorm: epsilon inside the sqrt, eps=1e-12.
+
+    Reference: modules/until_module.py:40-53. Statistics are computed in
+    fp32 regardless of input dtype; output is cast back to the input dtype.
+    """
+
+    epsilon: float = LN_EPS
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        u = jnp.mean(xf, axis=-1, keepdims=True)
+        s = jnp.mean(jnp.square(xf - u), axis=-1, keepdims=True)
+        y = (xf - u) * jax.lax.rsqrt(s + self.epsilon)
+        y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+def _dense(features: int, init_range: float, name: str, dtype) -> nn.Dense:
+    return nn.Dense(
+        features,
+        kernel_init=nn.initializers.normal(stddev=init_range),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def sdpa_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Scaled dot-product attention, XLA path.
+
+    q,k,v: [B, H, L, D]; bias broadcastable to [B, H, Lq, Lk] additive.
+    Softmax and score accumulation in fp32 (MXU fp32 accumulation).
+    """
+    head_dim = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(head_dim)
+    scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(
+        q.dtype
+    )
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention with separate q/k/v inputs.
+
+    Covers both the encoder self-attention (reference:
+    modules/module_bert.py:149-197) and the decoder's generalized attention
+    (reference: modules/module_decoder.py:195-247): pass ``kv`` for
+    cross-attention.
+    """
+
+    num_heads: int
+    head_dim: int
+    dropout_rate: float = 0.1
+    initializer_range: float = 0.02
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        q_in: jax.Array,
+        kv_in: Optional[jax.Array],
+        bias: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if kv_in is None:
+            kv_in = q_in
+        all_head = self.num_heads * self.head_dim
+        q = _dense(all_head, self.initializer_range, "query", self.dtype)(q_in)
+        k = _dense(all_head, self.initializer_range, "key", self.dtype)(kv_in)
+        v = _dense(all_head, self.initializer_range, "value", self.dtype)(kv_in)
+
+        def split(x):
+            b, l, _ = x.shape
+            return x.reshape(b, l, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+
+        use_fused = (
+            self.use_pallas
+            and deterministic  # fused kernel has no attention-prob dropout
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            from univl_tpu.kernels.attention import fused_attention
+
+            ctx = fused_attention(q, k, v, bias)
+        else:
+            rng = (
+                self.make_rng("dropout")
+                if (self.dropout_rate > 0.0 and not deterministic)
+                else None
+            )
+            ctx = sdpa_xla(
+                q,
+                k,
+                v,
+                bias,
+                dropout_rate=self.dropout_rate,
+                dropout_rng=rng,
+                deterministic=deterministic,
+            )
+        b, h, l, d = ctx.shape
+        return ctx.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+class ResidualOutput(nn.Module):
+    """dense -> dropout -> add residual -> LayerNorm (post-LN).
+
+    Covers BertSelfOutput and BertOutput (reference:
+    modules/module_bert.py:200-211,239-250).
+    """
+
+    features: int
+    dropout_rate: float = 0.1
+    initializer_range: float = 0.02
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, residual: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        h = _dense(self.features, self.initializer_range, "dense", self.dtype)(x)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return LayerNormTF(name="ln")(h + residual)
+
+
+class TransformerLayer(nn.Module):
+    """Post-LN encoder block: self-attn + FFN (reference: module_bert.py:253-264)."""
+
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    hidden_act: str = "gelu"
+    dropout_rate: float = 0.1
+    attn_dropout_rate: float = 0.1
+    initializer_range: float = 0.02
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, bias: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        attn = MultiHeadAttention(
+            num_heads=self.num_heads,
+            head_dim=self.hidden_size // self.num_heads,
+            dropout_rate=self.attn_dropout_rate,
+            initializer_range=self.initializer_range,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            name="attention",
+        )(x, None, bias, deterministic=deterministic)
+        attn_out = ResidualOutput(
+            self.hidden_size,
+            self.dropout_rate,
+            self.initializer_range,
+            self.dtype,
+            name="attention_output",
+        )(attn, x, deterministic=deterministic)
+
+        inter = _dense(
+            self.intermediate_size, self.initializer_range, "intermediate", self.dtype
+        )(attn_out)
+        inter = ACT2FN[self.hidden_act](inter)
+        return ResidualOutput(
+            self.hidden_size,
+            self.dropout_rate,
+            self.initializer_range,
+            self.dtype,
+            name="output",
+        )(inter, attn_out, deterministic=deterministic)
+
+
+class TransformerStack(nn.Module):
+    """N identical post-LN blocks (reference: modules/module_bert.py:267-281).
+
+    Optionally rematerialized (jax.checkpoint) to trade FLOPs for HBM.
+    """
+
+    num_layers: int
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    hidden_act: str = "gelu"
+    dropout_rate: float = 0.1
+    attn_dropout_rate: float = 0.1
+    initializer_range: float = 0.02
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, bias: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        layer_cls = TransformerLayer
+        if self.remat:
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(3,))
+        for i in range(self.num_layers):
+            x = layer_cls(
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                intermediate_size=self.intermediate_size,
+                hidden_act=self.hidden_act,
+                dropout_rate=self.dropout_rate,
+                attn_dropout_rate=self.attn_dropout_rate,
+                initializer_range=self.initializer_range,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas,
+                name=f"layer_{i}",
+            )(x, bias, deterministic)
+        return x
+
+
+class Pooler(nn.Module):
+    """First-token pooler: dense + tanh (reference: modules/module_bert.py:284-296)."""
+
+    hidden_size: int
+    initializer_range: float = 0.02
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        first = x[:, 0]
+        return jnp.tanh(
+            _dense(self.hidden_size, self.initializer_range, "dense", self.dtype)(first)
+        )
+
+
+class PredictionHeadTransform(nn.Module):
+    """dense -> act -> LayerNorm (reference: modules/module_bert.py:299-311)."""
+
+    hidden_size: int
+    hidden_act: str = "gelu"
+    initializer_range: float = 0.02
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = _dense(self.hidden_size, self.initializer_range, "dense", self.dtype)(x)
+        h = ACT2FN[self.hidden_act](h)
+        return LayerNormTF(name="ln")(h)
