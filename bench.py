@@ -1,0 +1,79 @@
+"""Benchmark: YouCook2-retrieval FT-Joint training throughput (clips/sec).
+
+Measures the full DP training step (forward + backward + BertAdam update) of
+the flagship UniVL configuration used by the reference's YouCook2 retrieval
+finetune (README.md:80-89: bs 32, max_words 48, max_frames 48, 12L text +
+6L visual) on the available chip(s).
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6). We
+estimate 4xGPU (V100-era) DDP throughput for this model/batch at ~420
+clips/sec (105/GPU) from typical BERT-base-scale step times; vs_baseline is
+measured clips/sec divided by that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC = 420.0  # estimated 4xGPU DDP (see docstring)
+
+
+def main():
+    import jax
+
+    from univl_tpu.config import UniVLConfig
+    from univl_tpu.models.univl import UniVL
+    from univl_tpu.parallel.mesh import make_mesh
+    from univl_tpu.train.optimization import make_univl_optimizer
+    from univl_tpu.train.trainer import Trainer
+    from __graft_entry__ import _make_batch
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_dev = len(jax.devices())
+    batch_per_dev = 32
+    cfg = UniVLConfig.base(
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        use_pallas=on_tpu,
+        batch_size_per_device=batch_per_dev,
+    )
+    model = UniVL(cfg)
+    mesh = make_mesh()
+    tx = make_univl_optimizer(lr=3e-5, t_total=1000, warmup_proportion=0.1)
+    trainer = Trainer(model, tx, mesh, grad_accum_steps=1)
+
+    per_dev = _make_batch(cfg, batch_per_dev)
+    state = trainer.init_state(jax.random.key(0), per_dev)
+    gb = _make_batch(cfg, batch_per_dev * n_dev, seed=1)
+    batch = trainer.shard_batch({k: v[None] for k, v in gb.items()})
+
+    # compile + warmup
+    state, metrics = trainer.train_step(state, batch, jax.random.key(1))
+    jax.block_until_ready(metrics)
+
+    steps = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = trainer.train_step(state, batch, jax.random.key(2 + i))
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / steps
+
+    clips_per_sec = batch_per_dev * n_dev / dt
+    print(
+        json.dumps(
+            {
+                "metric": "youcook2_retrieval_train_clips_per_sec",
+                "value": round(clips_per_sec, 1),
+                "unit": "clips/sec",
+                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

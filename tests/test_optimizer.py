@@ -1,0 +1,104 @@
+"""BertAdam-clone parity vs an independent numpy simulation of the
+reference update rule (modules/optimization.py:103-167)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from univl_tpu.train.optimization import (
+    bert_adam,
+    make_univl_optimizer,
+    univl_decay_mask,
+    univl_lr_scale,
+    warmup_linear,
+)
+
+
+def np_bert_adam_steps(p, grads, lr, warmup, t_total, b1=0.9, b2=0.999,
+                       eps=1e-6, wd=0.01, max_grad_norm=1.0):
+    """Numpy oracle: same math, written independently."""
+    m = np.zeros_like(p)
+    v = np.zeros_like(p)
+    step = 0
+    for g in grads:
+        norm = np.sqrt((g.astype(np.float64) ** 2).sum())
+        if max_grad_norm > 0 and norm > max_grad_norm:
+            g = g * (max_grad_norm / (norm + 1e-6))
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        upd = m / (np.sqrt(v) + eps) + wd * p
+        x = step / t_total
+        sched = x / warmup if x < warmup else max((x - 1.0) / (warmup - 1.0), 0.0)
+        p = p - lr * sched * upd
+        step += 1
+    return p
+
+
+def test_bert_adam_matches_numpy(rng):
+    p0 = rng.randn(16).astype(np.float32)
+    grads = [rng.randn(16).astype(np.float32) * 3.0 for _ in range(5)]
+
+    tx = bert_adam(lr=0.01, warmup=0.4, t_total=5, weight_decay=0.01,
+                   max_grad_norm=1.0)
+    params = {"w": jnp.asarray(p0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree.map(lambda a, b: a + b, params, updates)
+
+    expect = np_bert_adam_steps(p0.astype(np.float64),
+                                [g.astype(np.float64) for g in grads],
+                                lr=0.01, warmup=0.4, t_total=5)
+    np.testing.assert_allclose(np.asarray(params["w"]), expect, rtol=1e-4, atol=1e-6)
+
+
+def test_first_step_lr_is_zero(rng):
+    """Reference quirk: schedule evaluated before step increment, so the
+    first update has lr=0 under warmup_linear."""
+    p0 = rng.randn(8).astype(np.float32)
+    tx = bert_adam(lr=0.1, warmup=0.1, t_total=100)
+    params = {"w": jnp.asarray(p0)}
+    state = tx.init(params)
+    updates, state = tx.update({"w": jnp.ones(8, jnp.float32)}, state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), np.zeros(8), atol=1e-12)
+
+
+def test_warmup_linear_shape():
+    assert float(warmup_linear(0.0, 0.1)) == 0.0
+    assert float(warmup_linear(0.1, 0.1)) == pytest.approx(1.0)
+    assert float(warmup_linear(0.55, 0.1)) == pytest.approx(0.5)
+    assert float(warmup_linear(1.0, 0.1)) == pytest.approx(0.0)
+
+
+def test_param_group_policy():
+    params = {
+        "text": {"layer_0": {"attention": {"query": {"kernel": jnp.ones((2, 2)),
+                                                     "bias": jnp.ones(2)}},
+                 "ln": {"scale": jnp.ones(2), "bias": jnp.ones(2)}}},
+        "visual": {"dense": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones(2)}},
+        "word_embed": {"embedding": jnp.ones((4, 2))},
+        "similarity_dense": {"kernel": jnp.ones((2, 1)), "bias": jnp.ones(1)},
+    }
+    decay = univl_decay_mask(params)
+    assert decay["text"]["layer_0"]["attention"]["query"]["kernel"] is True
+    assert decay["text"]["layer_0"]["attention"]["query"]["bias"] is False
+    assert decay["text"]["layer_0"]["ln"]["scale"] is False
+    assert decay["word_embed"]["embedding"] is True
+    assert decay["visual"]["dense"]["bias"] is False
+
+    scale = univl_lr_scale(params, 0.1)
+    assert scale["text"]["layer_0"]["attention"]["query"]["kernel"] == 0.1
+    assert scale["word_embed"]["embedding"] == 0.1
+    assert scale["visual"]["dense"]["kernel"] == 1.0
+    assert scale["similarity_dense"]["kernel"] == 1.0
+
+
+def test_global_clip_composes(rng):
+    """make_univl_optimizer must clip by global norm before BertAdam."""
+    p0 = {"text": {"dense": {"kernel": jnp.asarray(rng.randn(4, 4), jnp.float32)}}}
+    tx = make_univl_optimizer(lr=0.01, t_total=10, warmup_proportion=0.1, coef_lr=1.0)
+    state = tx.init(p0)
+    big = jax.tree.map(lambda p: jnp.full_like(p, 100.0), p0)
+    updates, _ = tx.update(big, state, p0)
+    assert np.isfinite(np.asarray(jax.tree.leaves(updates)[0])).all()

@@ -1,0 +1,8 @@
+from univl_tpu.train.optimization import (
+    bert_adam,
+    make_univl_optimizer,
+    warmup_linear,
+    warmup_constant,
+    warmup_cosine,
+)
+from univl_tpu.train.trainer import Trainer, TrainState

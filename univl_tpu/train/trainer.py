@@ -1,0 +1,165 @@
+"""shard_map data-parallel trainer.
+
+Replaces the reference's NCCL DDP train loop (main_task_retrieval.py:318-365,
+main_pretrain.py:310-357) with a single compiled program per step:
+
+  - batch sharded over the 'dp' mesh axis (DistributedSampler equivalent)
+  - loss computed PER DEVICE on the local shard — this preserves the
+    reference's per-GPU-negatives semantics for the similarity losses
+    (mask shapes baked from batch_size // n_gpu, until_module.py:202-204)
+  - gradients pmean'd over ICI (DDP all-reduce equivalent)
+  - gradient accumulation via lax.scan over a leading micro-batch axis
+    (reference divides loss by gradient_accumulation_steps and steps every
+    N micro-batches, main_task_retrieval.py:339-353)
+  - params replicated; optimizer update identical on every device
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from univl_tpu.parallel.mesh import DP_AXIS
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array  # global optimizer steps taken
+
+
+class Trainer:
+    """Data-parallel trainer for any flax module whose apply returns a dict
+    with key 'loss'."""
+
+    def __init__(
+        self,
+        model,
+        tx: optax.GradientTransformation,
+        mesh: Mesh,
+        grad_accum_steps: int = 1,
+        donate: bool = True,
+    ):
+        self.model = model
+        self.tx = tx
+        self.mesh = mesh
+        self.grad_accum_steps = grad_accum_steps
+        self._train_step = self._build_train_step(donate)
+
+    # ------------------------------------------------------------ #
+    def init_state(self, rng: jax.Array, example_batch: Dict[str, jax.Array]) -> TrainState:
+        """Initialize params/opt_state replicated over the mesh.
+
+        ``example_batch`` should be a per-device-shaped batch (no accum axis).
+        """
+        variables = jax.jit(
+            lambda r: self.model.init(r, example_batch, deterministic=True)
+        )(rng)
+        params = variables["params"]
+        opt_state = self.tx.init(params)
+        state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros([], jnp.int32))
+        # Replicate across the mesh.
+        repl = NamedSharding(self.mesh, P())
+        return jax.device_put(state, repl)
+
+    # ------------------------------------------------------------ #
+    def _build_train_step(self, donate: bool):
+        accum = self.grad_accum_steps
+        model = self.model
+        tx = self.tx
+
+        def per_device_step(params, opt_state, step, batch, rng):
+            """Runs on each device with its local batch shard.
+
+            batch arrays: [accum, B_local, ...].
+            """
+            my_rng = jax.random.fold_in(rng, jax.lax.axis_index(DP_AXIS))
+
+            def micro(carry, xs):
+                grads_acc, loss_acc, metrics_acc = carry
+                mb, i = xs
+                r = jax.random.fold_in(my_rng, i)
+
+                def loss_fn(p):
+                    out = model.apply(
+                        {"params": p}, mb, deterministic=False, rngs={"dropout": r}
+                    )
+                    return out["loss"], out
+
+                (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                metrics = {k: v for k, v in out.items()}
+                metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
+                return (grads_acc, loss_acc + loss, metrics_acc), None
+
+            zero_grads = jax.tree.map(lambda p: jnp.zeros_like(p), params)
+            mb0 = jax.tree.map(lambda x: x[0], batch)
+            # Trace once to get the metrics structure.
+            zero_metrics = jax.eval_shape(
+                lambda p: model.apply(
+                    {"params": p}, mb0, deterministic=True
+                ),
+                params,
+            )
+            zero_metrics = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), zero_metrics
+            )
+
+            idx = jnp.arange(accum)
+            (grads, loss_sum, metrics_sum), _ = jax.lax.scan(
+                micro, (zero_grads, 0.0, zero_metrics), (batch, idx)
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            metrics = jax.tree.map(lambda m: m / accum, metrics_sum)
+
+            # DDP equivalent: average grads over the dp axis (ICI psum).
+            grads = jax.lax.pmean(grads, DP_AXIS)
+            metrics = jax.lax.pmean(metrics, DP_AXIS)
+
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt_state, metrics
+
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(0,) if donate else (),
+        )
+        def train_step(state: TrainState, batch, rng):
+            mapped = shard_map(
+                per_device_step,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(), P(None, DP_AXIS), P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+            new_params, new_opt_state, metrics = mapped(
+                state.params, state.opt_state, state.step, batch, rng
+            )
+            new_state = TrainState(
+                params=new_params, opt_state=new_opt_state, step=state.step + 1
+            )
+            return new_state, metrics
+
+        return train_step
+
+    # ------------------------------------------------------------ #
+    def train_step(self, state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        """One optimizer step.
+
+        batch arrays must be [accum, global_batch, ...] with global_batch
+        divisible by the mesh size.
+        """
+        return self._train_step(state, batch, rng)
+
+    def shard_batch(self, batch: Dict[str, Any]):
+        """Place a host batch onto the mesh, sharded over axis 1 (global batch)."""
+        sharding = NamedSharding(self.mesh, P(None, DP_AXIS))
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
