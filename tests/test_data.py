@@ -1,0 +1,265 @@
+"""Data pipeline tests: tokenizer, masking invariants, dataset readers,
+batching — against the synthetic fixtures."""
+
+import numpy as np
+import pytest
+
+from univl_tpu.data import fixtures
+from univl_tpu.data.batching import Batcher, collate
+from univl_tpu.data.howto100m import HowTo100MPretrainDataset
+from univl_tpu.data.msrvtt import (
+    MsrvttCaptionDataset,
+    MsrvttRetrievalEvalDataset,
+    MsrvttRetrievalTrainDataset,
+)
+from univl_tpu.data.tokenization import WordPieceTokenizer
+from univl_tpu.data import text_encoding as te
+from univl_tpu.data.youcook import YoucookCaptionDataset, YoucookRetrievalDataset
+
+import pickle
+
+
+@pytest.fixture(scope="module")
+def vocab_file(tmp_path_factory):
+    return fixtures.make_vocab(str(tmp_path_factory.mktemp("vocab") / "vocab.txt"))
+
+
+@pytest.fixture(scope="module")
+def tokenizer(vocab_file):
+    return WordPieceTokenizer(vocab_file)
+
+
+# ------------------------------------------------------------------ #
+# Tokenizer
+# ------------------------------------------------------------------ #
+def test_tokenizer_basic(tokenizer):
+    toks = tokenizer.tokenize("Add the chopped onions, then STIR well!")
+    assert "add" in toks and "," in toks and "!" in toks
+    assert "stir" in toks
+    ids = tokenizer.convert_tokens_to_ids(toks)
+    assert tokenizer.convert_ids_to_tokens(ids) == toks
+
+
+def test_tokenizer_wordpiece_fallback(tokenizer):
+    # 'stirred' is not in vocab; must decompose via ## pieces or UNK
+    toks = tokenizer.tokenize("stirred")
+    assert all(t in tokenizer.vocab for t in toks)
+
+
+def test_tokenizer_unknown_to_unk(tokenizer):
+    toks = tokenizer.tokenize("Ωmega")  # char not in vocab
+    assert "[UNK]" in toks
+
+
+def test_tokenizer_specials(tokenizer):
+    assert tokenizer.pad_id == 0
+    assert tokenizer.bos_id == tokenizer.vocab["[CLS]"]
+    assert tokenizer.eos_id == tokenizer.vocab["[SEP]"]
+
+
+# ------------------------------------------------------------------ #
+# Encoding invariants
+# ------------------------------------------------------------------ #
+def test_encode_text_invariants(tokenizer):
+    rng = np.random.RandomState(0)
+    out = te.encode_text("add the onions " * 30, tokenizer, 16, rng)
+    assert out["input_ids"].shape == (16,)
+    assert out["input_ids"][0] == tokenizer.bos_id
+    # truncated sequence still ends with SEP at the last valid position
+    last = int(out["attention_mask"].sum()) - 1
+    assert out["input_ids"][last] == tokenizer.eos_id
+    assert last == 15  # full
+    # labels: CLS/SEP/pad are -1
+    assert out["token_labels"][0] == -1
+    assert out["token_labels"][last] == -1
+
+
+def test_mlm_rate(tokenizer):
+    rng = np.random.RandomState(1)
+    n_masked = total = 0
+    for i in range(200):
+        out = te.encode_text(" ".join(["add"] * 30), tokenizer, 32, rng)
+        valid = out["attention_mask"].sum() - 2
+        n_masked += (out["token_labels"] != -1).sum()
+        total += valid
+    rate = n_masked / total
+    assert 0.12 < rate < 0.18, rate
+
+
+def test_encode_caption_shift(tokenizer):
+    words = tokenizer.tokenize("add the onions")
+    cap = te.encode_caption(words, tokenizer, 8)
+    ids_in = cap["input_caption_ids"]
+    ids_out = cap["output_caption_ids"]
+    n = int(cap["decoder_mask"].sum())
+    assert ids_in[0] == tokenizer.bos_id
+    assert ids_out[n - 1] == tokenizer.eos_id
+    # shifted by one
+    np.testing.assert_array_equal(ids_in[1:n], ids_out[: n - 1])
+
+
+def test_mask_frames_rate():
+    rng = np.random.RandomState(2)
+    video = np.ones((1000, 4), np.float32)
+    masked, labels = te.mask_frames(video, 1000, rng)
+    rate = (labels != -1).mean()
+    assert 0.10 < rate < 0.20
+    assert (masked[labels != -1] == 0).all()
+
+
+# ------------------------------------------------------------------ #
+# Datasets
+# ------------------------------------------------------------------ #
+@pytest.fixture(scope="module")
+def youcook(tmp_path_factory):
+    return fixtures.make_youcook(str(tmp_path_factory.mktemp("yc")), video_dim=16)
+
+
+def test_youcook_retrieval(youcook, tokenizer):
+    csv_path, data_path, feat_path = youcook
+    ds = YoucookRetrievalDataset(csv_path, data_path, feat_path, tokenizer,
+                                 max_words=16, max_frames=12)
+    assert len(ds) == 6 * 3
+    s = ds[0]
+    assert s["video"].shape == (12, 16)
+    assert s["video_mask"].sum() > 0
+    assert s["input_ids"].dtype == np.int32
+    # determinism given same epoch
+    s2 = ds[0]
+    np.testing.assert_array_equal(s["masked_text"], s2["masked_text"])
+    ds.set_epoch(1)
+    s3 = ds[0]
+    assert not np.array_equal(s["masked_text"], s3["masked_text"]) or \
+        (s["token_labels"] == -1).all()
+
+
+def test_youcook_caption(youcook, tokenizer):
+    csv_path, data_path, feat_path = youcook
+    ds = YoucookCaptionDataset(csv_path, data_path, feat_path, tokenizer,
+                               max_words=16, max_frames=12)
+    s = ds[0]
+    for k in ("input_caption_ids", "output_caption_ids", "decoder_mask"):
+        assert k in s
+    assert isinstance(ds.reference_caption(0), str)
+
+
+@pytest.fixture(scope="module")
+def msrvtt(tmp_path_factory):
+    return fixtures.make_msrvtt(str(tmp_path_factory.mktemp("mv")), video_dim=16)
+
+
+def test_msrvtt_loaders(msrvtt, tokenizer):
+    train_csv, test_csv, json_path, feat_path = msrvtt
+    ev = MsrvttRetrievalEvalDataset(test_csv, feat_path, tokenizer,
+                                    max_words=16, max_frames=12)
+    assert len(ev) == 8
+    assert ev[0]["video"].shape == (12, 16)
+
+    tr = MsrvttRetrievalTrainDataset(train_csv, json_path, feat_path, tokenizer,
+                                     max_words=16, max_frames=12,
+                                     unfold_sentences=True)
+    assert len(tr) == 8 * 3  # expanded
+    tr2 = MsrvttRetrievalTrainDataset(train_csv, json_path, feat_path, tokenizer,
+                                      max_words=16, max_frames=12,
+                                      unfold_sentences=False)
+    assert len(tr2) == 8
+    _ = tr2[0]
+
+
+def test_msrvtt_caption_empty_text(msrvtt, tokenizer):
+    _, _, json_path, feat_path = msrvtt
+    ds = MsrvttCaptionDataset("/dev/null", json_path, feat_path, tokenizer,
+                              split_type="train", max_words=16, max_frames=12)
+    # our fixture ids are video0..7 -> all in "train" range
+    s = ds[0]
+    # encoder text empty: [CLS][SEP] only
+    assert int(s["attention_mask"].sum()) == 2
+    assert len(ds.references(0)) == 3
+
+
+@pytest.fixture(scope="module")
+def howto(tmp_path_factory):
+    return fixtures.make_howto100m(str(tmp_path_factory.mktemp("ht")), video_dim=16)
+
+
+def test_howto_pretrain_mil(howto, tokenizer):
+    csv_path, data_path, feat_dir = howto
+    with open(data_path, "rb") as f:
+        data = pickle.load(f)
+    ds = HowTo100MPretrainDataset(
+        csv_path, data, feat_dir, tokenizer,
+        max_words=16, max_frames=12, n_pair=3, min_time=5.0,
+        sampled_use_mil=True, video_dim=16,
+    )
+    assert len(ds) == 5  # one sample per video when sampled_use_mil
+    s = ds[0]
+    assert s["input_ids"].shape == (3, 16)  # n_pair leading dim
+    assert s["video"].shape == (3, 12, 16)
+    for k in ("masked_text", "token_labels", "input_caption_ids",
+              "output_caption_ids", "decoder_mask", "masked_video",
+              "video_labels_index"):
+        assert k in s
+
+
+def test_howto_corrupt_video_tolerated(howto, tokenizer):
+    csv_path, data_path, feat_dir = howto
+    with open(data_path, "rb") as f:
+        data = pickle.load(f)
+    ds = HowTo100MPretrainDataset(
+        csv_path, data, feat_dir, tokenizer,
+        max_words=16, max_frames=12, n_pair=1, video_dim=16,
+    )
+    s = ds[len(ds) - 1]  # last video has a corrupt .npy
+    assert (s["video"] == 0).all()
+    assert (s["video_mask"] == 0).all()
+
+
+def test_howto_enumerated_mil(howto, tokenizer):
+    csv_path, data_path, feat_dir = howto
+    with open(data_path, "rb") as f:
+        data = pickle.load(f)
+    ds = HowTo100MPretrainDataset(
+        csv_path, data, feat_dir, tokenizer,
+        max_words=16, max_frames=12, n_pair=3, use_mil=True, video_dim=16,
+    )
+    # 6 clips per video, groups of 3 -> 2 groups per video x 5 videos
+    assert len(ds) == 10
+
+
+def test_howto_only_sim(howto, tokenizer):
+    csv_path, data_path, feat_dir = howto
+    with open(data_path, "rb") as f:
+        data = pickle.load(f)
+    ds = HowTo100MPretrainDataset(
+        csv_path, data, feat_dir, tokenizer,
+        max_words=16, max_frames=12, n_pair=1, only_sim=True, video_dim=16,
+    )
+    s = ds[0]
+    assert "masked_text" not in s and "input_caption_ids" not in s
+
+
+# ------------------------------------------------------------------ #
+# Batching
+# ------------------------------------------------------------------ #
+def test_batcher_shapes_and_determinism(youcook, tokenizer):
+    csv_path, data_path, feat_path = youcook
+    ds = YoucookRetrievalDataset(csv_path, data_path, feat_path, tokenizer,
+                                 max_words=16, max_frames=12)
+    b = Batcher(ds, batch_size=4, shuffle=True, seed=7, grad_accum=2)
+    batches = list(b.epoch(0))
+    assert len(batches) == len(ds) // 8
+    assert batches[0]["input_ids"].shape == (2, 4, 16)
+    batches2 = list(b.epoch(0))
+    np.testing.assert_array_equal(batches[0]["input_ids"], batches2[0]["input_ids"])
+    batches3 = list(b.epoch(1))
+    assert not np.array_equal(batches[0]["input_ids"], batches3[0]["input_ids"])
+
+
+def test_prefetch(youcook, tokenizer):
+    from univl_tpu.data.batching import prefetch_to_device
+    csv_path, data_path, feat_path = youcook
+    ds = YoucookRetrievalDataset(csv_path, data_path, feat_path, tokenizer,
+                                 max_words=16, max_frames=12)
+    b = Batcher(ds, batch_size=4, shuffle=False)
+    out = list(prefetch_to_device(b.epoch(0), put=lambda x: x))
+    assert len(out) == len(ds) // 4

@@ -1,0 +1,113 @@
+"""Fixed-shape batching + host->device prefetch.
+
+Replaces the reference's torch DataLoader worker pool + DistributedSampler
+(main_task_retrieval.py:213-222). Everything is fixed-shape numpy, so batches
+go straight to HBM with no recompilation; a background thread double-buffers
+device transfers so the host pipeline overlaps the TPU step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+class Batcher:
+    """Deterministic shuffling batcher.
+
+    Yields [global_batch, ...] dicts; with grad_accum > 1, yields
+    [accum, global_batch, ...] (the trainer's expected layout).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        grad_accum: int = 1,
+        num_workers: int = 8,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.grad_accum = grad_accum
+        self.num_workers = num_workers
+
+    def __len__(self):
+        chunk = self.batch_size * self.grad_accum
+        n = len(self.dataset)
+        return n // chunk if self.drop_last else -(-n // chunk)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+        chunk = self.batch_size * self.grad_accum
+
+        def fetch(i):
+            return self.dataset[int(i)]
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            for off in range(0, n - chunk + 1 if self.drop_last else n, chunk):
+                idxs = order[off : off + chunk]
+                if len(idxs) < chunk and self.drop_last:
+                    break
+                samples = list(ex.map(fetch, idxs))
+                batch = collate(samples)
+                if self.grad_accum > 1:
+                    batch = {
+                        k: v.reshape(self.grad_accum, self.batch_size, *v.shape[1:])
+                        for k, v in batch.items()
+                    }
+                yield batch
+
+
+def prefetch_to_device(
+    it: Iterator[Any],
+    put: Optional[Callable[[Any], Any]] = None,
+    size: int = 2,
+) -> Iterator[Any]:
+    """Background-thread prefetch; `put` typically trainer.shard_batch or
+    jax.device_put."""
+    if put is None:
+        import jax
+
+        put = jax.device_put
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    END = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(put(item))
+        except BaseException as e:  # propagate to consumer
+            err.append(e)
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -236,7 +236,7 @@ class UniVL(nn.Module):
         video_mask: jax.Array,
     ):
         """Masked mean pooling; text excludes CLS (reference: modeling.py:327-339)."""
-        am = attention_mask.astype(jnp.float32)[:, :, None]
+        am = jnp.asarray(attention_mask).astype(jnp.float32)[:, :, None]
         am = am.at[:, 0, :].set(0.0)
         text_out = jnp.sum(sequence_output.astype(jnp.float32) * am, axis=1) / jnp.sum(
             am, axis=1
