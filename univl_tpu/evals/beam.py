@@ -1,0 +1,160 @@
+"""Static-shape jitted beam search for caption decoding.
+
+Reference behavior replicated (modules/beam.py + main_task_caption.py:400-545):
+  - beam size 5, cumulative log-prob scores, NO length normalization
+  - step 1 expands only the first beam row (beam.py:71)
+  - backpointers prev_k = id // V, token = id % V (beam.py:78-80)
+  - an instance is finished when its TOP beam emits EOS ([SEP]) (beam.py:82-83)
+  - n_best=1: the returned hypothesis is the top beam row
+
+TPU-native design differences (same results, different machinery):
+  - the cross encoder runs ONCE per batch and is cached; the reference
+    recomputes it inside every decode step (modeling.py:404)
+  - finished instances are frozen by masking instead of the reference's
+    Python-side active-instance compaction (collate_active_info)
+  - the decode loop is a lax.scan with static shapes; beam rows are
+    reordered in-place each step instead of walking back pointers at the end
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from univl_tpu.models.univl import UniVL
+
+NEG_INF = -1e18
+
+
+def make_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
+                        bos_id: int, eos_id: int, pad_id: int = 0):
+    """Returns jitted fn(params, seq, vis, am, vm) -> (tokens [B, max_len],
+    scores [B]) decoding with beam search. tokens excludes BOS."""
+    K = beam_size
+
+    def decode(params, sequence_output, visual_output, attention_mask, video_mask):
+        B = sequence_output.shape[0]
+        V = model.cfg.decoder.vocab_size
+
+        # Cross-encode ONCE (hoisted out of the decode loop).
+        cross_out, _, concat_mask = model.apply(
+            params, sequence_output, visual_output, attention_mask, video_mask,
+            method=UniVL.get_cross_output,
+        )
+        H = cross_out.shape[-1]
+        Lenc = cross_out.shape[1]
+        # repeat each instance K times: [B*K, Lenc, H]
+        cross_rep = jnp.repeat(cross_out, K, axis=0)
+        mask_rep = jnp.repeat(concat_mask, K, axis=0)
+
+        seqs0 = jnp.full((B, K, max_len), pad_id, jnp.int32)
+        seqs0 = seqs0.at[:, :, 0].set(bos_id)
+        # only beam 0 is live initially (reference beam.py:71)
+        scores0 = jnp.where(
+            jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+        ).astype(jnp.float32) * jnp.ones((B, 1), jnp.float32)
+        done0 = jnp.zeros((B,), bool)
+
+        positions = jnp.arange(max_len, dtype=jnp.int32)
+
+        def step(carry, t):
+            seqs, scores, done = carry
+            dec_mask = (positions[None, :] < t).astype(jnp.int32)
+            dec_mask = jnp.broadcast_to(dec_mask, (B * K, max_len))
+            logits = model.apply(
+                params, cross_rep, mask_rep,
+                seqs.reshape(B * K, max_len), dec_mask,
+                method=UniVL.decode_step_logits,
+            )
+            # token t is predicted at position t-1
+            step_logits = jax.lax.dynamic_index_in_dim(
+                logits, t - 1, axis=1, keepdims=False
+            )  # [B*K, V]
+            logp = jax.nn.log_softmax(step_logits.astype(jnp.float32), axis=-1)
+            logp = logp.reshape(B, K, V)
+
+            cand = scores[:, :, None] + logp  # [B, K, V]
+            flat = cand.reshape(B, K * V)
+            top_scores, top_idx = jax.lax.top_k(flat, K)  # [B, K]
+            prev_k = top_idx // V
+            next_y = (top_idx % V).astype(jnp.int32)
+
+            reordered = jnp.take_along_axis(
+                seqs, prev_k[:, :, None], axis=1
+            )
+            new_seqs = reordered.at[:, :, t].set(next_y)
+
+            d = done[:, None, None]
+            seqs = jnp.where(d, seqs, new_seqs)
+            scores = jnp.where(done[:, None], scores, top_scores)
+            newly_done = next_y[:, 0] == eos_id
+            done = done | newly_done
+            return (seqs, scores, done), None
+
+        (seqs, scores, done), _ = jax.lax.scan(
+            step, (seqs0, scores0, done0), jnp.arange(1, max_len)
+        )
+        # top beam, drop BOS
+        return seqs[:, 0, 1:], scores[:, 0]
+
+    return jax.jit(decode)
+
+
+def ids_to_text(ids, tokenizer) -> str:
+    """Strip at first [SEP], drop [PAD], merge '##' wordpieces
+    (reference: main_task_caption.py:553-575)."""
+    toks = tokenizer.convert_ids_to_tokens(
+        [int(i) for i in np.asarray(ids)]
+    )
+    if "[SEP]" in toks:
+        toks = toks[: toks.index("[SEP]")]
+    toks = [t for t in toks if t not in ("[PAD]",)]
+    words: list = []
+    for t in toks:
+        if t.startswith("##") and words:
+            words[-1] = words[-1] + t[2:]
+        else:
+            words.append(t)
+    return " ".join(words)
+
+
+class CaptionGenerator:
+    """Batched caption generation: encode -> beam decode -> text."""
+
+    def __init__(self, model: UniVL, params, tokenizer, beam_size: int = 5,
+                 max_len: int = 48, batch_size: int = 16):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+
+        @jax.jit
+        def encode_fn(params, input_ids, token_type_ids, attention_mask, video, video_mask):
+            return model.apply(
+                params, input_ids, token_type_ids, attention_mask, video, video_mask,
+                method=UniVL.encode,
+            )
+
+        self._encode = encode_fn
+        self._decode = make_beam_decode_fn(
+            model, beam_size, max_len,
+            bos_id=tokenizer.bos_id, eos_id=tokenizer.eos_id,
+            pad_id=tokenizer.pad_id,
+        )
+
+    def generate(self, batch: Dict[str, np.ndarray]):
+        seq, vis = self._encode(
+            self.params,
+            batch["input_ids"], batch["token_type_ids"],
+            batch["attention_mask"], batch["video"], batch["video_mask"],
+        )
+        tokens, scores = self._decode(
+            self.params, seq, vis, batch["attention_mask"], batch["video_mask"]
+        )
+        tokens = np.asarray(tokens)
+        return [ids_to_text(tokens[i], self.tokenizer) for i in range(tokens.shape[0])]

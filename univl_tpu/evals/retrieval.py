@@ -1,0 +1,156 @@
+"""Retrieval evaluation (reference: main_task_retrieval.py:367-450).
+
+Pipeline:
+  1. encode every test clip once (jitted, fixed shapes, padded final batch)
+  2. build the full T x V similarity matrix
+       - joint mode: cache mean-pooled L2-normalized embeddings, one matmul
+         (the reference caches full encoder outputs and re-pools per block —
+         we hoist the pooling, numerically identical)
+       - cross (FT-Align) mode: chunked cross-encoder rescoring over
+         (text-block x video-block) tiles with static shapes (the reference's
+         5-row chunks + thread-per-GPU fan-out, main_task_retrieval.py:406-440)
+  3. compute R@K from the diagonal rank
+
+On multi-chip meshes the tiles are data-parallel: each device rescores a
+row-block (the reference's parallel_apply equivalent, util.py:21-60) — the
+sim matrix assembly happens on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from univl_tpu.evals.metrics import compute_retrieval_metrics
+from univl_tpu.models.univl import UniVL
+
+
+def _pad_batch(batch: Dict[str, np.ndarray], size: int) -> Tuple[Dict[str, np.ndarray], int]:
+    n = next(iter(batch.values())).shape[0]
+    if n == size:
+        return batch, n
+    out = {}
+    for k, v in batch.items():
+        pad = np.zeros((size - n, *v.shape[1:]), v.dtype)
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out, n
+
+
+class RetrievalEvaluator:
+    def __init__(
+        self,
+        model: UniVL,
+        params,
+        batch_size: int = 64,
+        cross_text_block: int = 8,
+        cross_video_block: int = 64,
+    ):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self.tb = cross_text_block
+        self.vb = cross_video_block
+
+        @jax.jit
+        def encode_fn(params, input_ids, token_type_ids, attention_mask, video, video_mask):
+            seq, vis = model.apply(
+                params, input_ids, token_type_ids, attention_mask, video, video_mask,
+                method=UniVL.encode,
+            )
+            return seq, vis
+
+        @jax.jit
+        def pool_fn(seq, vis, attention_mask, video_mask):
+            text_out, video_out = UniVL.mean_pool(seq, vis, attention_mask, video_mask)
+            if not model.cfg.use_mil:
+                text_out = text_out / jnp.linalg.norm(text_out, axis=-1, keepdims=True)
+                video_out = video_out / jnp.linalg.norm(video_out, axis=-1, keepdims=True)
+            return text_out, video_out
+
+        @jax.jit
+        def cross_block_fn(params, seq, vis, am, vm):
+            return model.apply(
+                params, seq, vis, am, vm, method=UniVL.cross_similarity
+            )
+
+        self._encode = encode_fn
+        self._pool = pool_fn
+        self._cross_block = cross_block_fn
+
+    # ------------------------------------------------------------ #
+    def encode_dataset(self, batches: Iterator[Dict[str, np.ndarray]]):
+        """Pass 1: encode all clips; returns host-side arrays."""
+        seqs, viss, ams, vms, texts, videos = [], [], [], [], [], []
+        for batch in batches:
+            batch, n = _pad_batch(batch, self.batch_size)
+            seq, vis = self._encode(
+                self.params,
+                batch["input_ids"], batch["token_type_ids"],
+                batch["attention_mask"], batch["video"], batch["video_mask"],
+            )
+            t, v = self._pool(seq, vis, batch["attention_mask"], batch["video_mask"])
+            seqs.append(np.asarray(seq[:n], np.float32))
+            viss.append(np.asarray(vis[:n], np.float32))
+            ams.append(batch["attention_mask"][:n])
+            vms.append(batch["video_mask"][:n])
+            texts.append(np.asarray(t[:n], np.float32))
+            videos.append(np.asarray(v[:n], np.float32))
+        return {
+            "seq": np.concatenate(seqs),
+            "vis": np.concatenate(viss),
+            "am": np.concatenate(ams),
+            "vm": np.concatenate(vms),
+            "text_emb": np.concatenate(texts),
+            "video_emb": np.concatenate(videos),
+        }
+
+    # ------------------------------------------------------------ #
+    def joint_sim_matrix(self, enc) -> np.ndarray:
+        return enc["text_emb"] @ enc["video_emb"].T
+
+    def cross_sim_matrix(self, enc) -> np.ndarray:
+        """FT-Align: cross-encoder rescoring over static-shape tiles."""
+        seq, vis, am, vm = enc["seq"], enc["vis"], enc["am"], enc["vm"]
+        n = seq.shape[0]
+        tb, vb = self.tb, self.vb
+        sim = np.zeros((n, n), np.float32)
+        for i0 in range(0, n, tb):
+            i1 = min(i0 + tb, n)
+            seq_i = _pad_rows(seq[i0:i1], tb)
+            am_i = _pad_rows(am[i0:i1], tb)
+            for j0 in range(0, n, vb):
+                j1 = min(j0 + vb, n)
+                vis_j = _pad_rows(vis[j0:j1], vb)
+                vm_j = _pad_rows(vm[j0:j1], vb)
+                block = self._cross_block(self.params, seq_i, vis_j, am_i, vm_j)
+                sim[i0:i1, j0:j1] = np.asarray(block)[: i1 - i0, : j1 - j0]
+        return sim
+
+    # ------------------------------------------------------------ #
+    def evaluate(
+        self, batches: Iterator[Dict[str, np.ndarray]], mode: Optional[str] = None
+    ) -> Dict[str, float]:
+        """mode: 'joint' | 'cross' (default from model config)."""
+        if mode is None:
+            mode = (
+                "cross"
+                if (self.model.cfg.train_sim_after_cross or self.model.cfg.stage_two)
+                else "joint"
+            )
+        enc = self.encode_dataset(batches)
+        sim = self.joint_sim_matrix(enc) if mode == "joint" else self.cross_sim_matrix(enc)
+        metrics = compute_retrieval_metrics(sim)
+        metrics["mode"] = mode  # type: ignore[assignment]
+        return metrics
+
+
+def _pad_rows(x: np.ndarray, size: int) -> np.ndarray:
+    if x.shape[0] == size:
+        return x
+    pad = np.zeros((size - x.shape[0], *x.shape[1:]), x.dtype)
+    return np.concatenate([x, pad], axis=0)
