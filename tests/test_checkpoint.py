@@ -1,0 +1,186 @@
+"""Checkpoint tests: torch-name conversion coverage + save/restore roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from univl_tpu.config import UniVLConfig
+from univl_tpu.checkpoint.io import restore_checkpoint, save_checkpoint
+from univl_tpu.checkpoint.torch_convert import (
+    convert_torch_state_dict,
+    merge_params,
+)
+from univl_tpu.models.univl import UniVL
+
+from test_model import make_batch
+
+
+def synth_reference_state_dict(cfg: UniVLConfig, rng) -> dict:
+    """Synthesize a state dict with the reference's torch parameter names
+    (modules/modeling.py layout) at the given config's shapes."""
+    H = cfg.bert.hidden_size
+    I = cfg.bert.intermediate_size
+    sd = {}
+
+    def lin(name, din, dout):
+        sd[f"{name}.weight"] = rng.randn(dout, din).astype(np.float32)
+        sd[f"{name}.bias"] = rng.randn(dout).astype(np.float32)
+
+    def ln(name, d=None):
+        d = d or H
+        sd[f"{name}.weight"] = rng.rand(d).astype(np.float32) + 0.5
+        sd[f"{name}.bias"] = rng.randn(d).astype(np.float32) * 0.1
+
+    def emb(name, n, d=None):
+        sd[f"{name}.weight"] = rng.randn(n, d or H).astype(np.float32)
+
+    def block(prefix):
+        for qkv in ("query", "key", "value"):
+            lin(f"{prefix}.attention.self.{qkv}", H, H)
+        lin(f"{prefix}.attention.output.dense", H, H)
+        ln(f"{prefix}.attention.output.LayerNorm")
+        lin(f"{prefix}.intermediate.dense", H, I)
+        lin(f"{prefix}.output.dense", I, H)
+        ln(f"{prefix}.output.LayerNorm")
+
+    # bert
+    emb("bert.embeddings.word_embeddings", cfg.bert.vocab_size)
+    emb("bert.embeddings.position_embeddings", cfg.bert.max_position_embeddings)
+    emb("bert.embeddings.token_type_embeddings", cfg.bert.type_vocab_size)
+    ln("bert.embeddings.LayerNorm")
+    for i in range(cfg.bert.num_hidden_layers):
+        block(f"bert.encoder.layer.{i}")
+    lin("bert.pooler.dense", H, H)  # unused by UniVL
+
+    # visual
+    lin("visual.embeddings.word_embeddings", cfg.video_dim, H)
+    emb("visual.embeddings.position_embeddings", cfg.visual.max_position_embeddings)
+    ln("visual.embeddings.LayerNorm")
+    for i in range(cfg.visual.num_hidden_layers):
+        block(f"visual.encoder.layer.{i}")
+    lin("visual.pooler.dense", H, H)
+
+    # cross
+    emb("cross.embeddings.position_embeddings", cfg.cross.max_position_embeddings)
+    emb("cross.embeddings.token_type_embeddings", cfg.cross.type_vocab_size)
+    ln("cross.embeddings.LayerNorm")
+    for i in range(cfg.cross.num_hidden_layers):
+        block(f"cross.encoder.layer.{i}")
+    lin("cross.pooler.dense", H, H)
+
+    # decoder (embeddings tied to bert)
+    sd["decoder.embeddings.word_embeddings.weight"] = sd[
+        "bert.embeddings.word_embeddings.weight"
+    ]
+    sd["decoder.embeddings.position_embeddings.weight"] = sd[
+        "bert.embeddings.position_embeddings.weight"
+    ]
+    ln("decoder.embeddings.LayerNorm")
+    for i in range(cfg.decoder.num_decoder_layers):
+        p = f"decoder.decoder.layer.{i}"
+        for att in ("slf_attn", "enc_attn"):
+            for qkv in ("query", "key", "value"):
+                lin(f"{p}.{att}.att.{qkv}", H, H)
+            lin(f"{p}.{att}.output.dense", H, H)
+            ln(f"{p}.{att}.output.LayerNorm")
+        lin(f"{p}.intermediate.dense", H, I)
+        lin(f"{p}.output.dense", I, H)
+        ln(f"{p}.output.LayerNorm")
+    lin("decoder.classifier.cls.predictions.transform.dense", H, H)
+    ln("decoder.classifier.cls.predictions.transform.LayerNorm")
+    sd["decoder.classifier.cls.predictions.decoder.weight"] = sd[
+        "bert.embeddings.word_embeddings.weight"
+    ]
+    sd["decoder.classifier.cls.predictions.bias"] = rng.randn(
+        cfg.bert.vocab_size
+    ).astype(np.float32)
+
+    # pretrain heads
+    lin("cls.predictions.transform.dense", H, H)
+    ln("cls.predictions.transform.LayerNorm")
+    sd["cls.predictions.decoder.weight"] = sd[
+        "bert.embeddings.word_embeddings.weight"
+    ]
+    sd["cls.predictions.bias"] = rng.randn(cfg.bert.vocab_size).astype(np.float32)
+    lin("cls_visual.predictions.transform.dense", H, H)
+    ln("cls_visual.predictions.transform.LayerNorm")
+    sd["cls_visual.predictions.weight"] = sd[
+        "visual.embeddings.word_embeddings.weight"
+    ]
+    sd["cls_visual.predictions.bias"] = rng.randn(cfg.video_dim).astype(np.float32)
+
+    # top-level
+    ln("normalize_video.visual_norm2d", cfg.video_dim)
+    lin("similarity_dense", H, 1)
+    return sd
+
+
+def test_conversion_full_coverage(rng):
+    cfg = UniVLConfig.tiny(stage_two=True, do_pretrain=True, use_mil=True)
+    sd = synth_reference_state_dict(cfg, rng)
+    tree, report = convert_torch_state_dict(sd)
+    assert not report["unknown"], report["unknown"]
+
+    model = UniVL(cfg)
+    batch = make_batch(cfg, rng, with_caption=True, with_pretrain=True)
+    variables = model.init(jax.random.key(0), batch, deterministic=True)
+    merged, missing = merge_params(variables["params"], tree)
+    assert not missing, missing  # every flax param covered by the checkpoint
+
+    out = model.apply({"params": merged}, batch, deterministic=True)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_conversion_gamma_beta_rename(rng):
+    cfg = UniVLConfig.tiny()
+    sd = synth_reference_state_dict(cfg, rng)
+    # simulate old-style naming for one LN
+    w = sd.pop("bert.embeddings.LayerNorm.weight")
+    b = sd.pop("bert.embeddings.LayerNorm.bias")
+    sd["bert.embeddings.LayerNorm.gamma"] = w
+    sd["bert.embeddings.LayerNorm.beta"] = b
+    tree, report = convert_torch_state_dict(sd)
+    np.testing.assert_array_equal(tree["text"]["embed_ln"]["scale"], w)
+    np.testing.assert_array_equal(tree["text"]["embed_ln"]["bias"], b)
+
+
+def test_linear_transpose_semantics(rng):
+    """Converted kernel must reproduce torch Linear y = x @ W.T + b."""
+    cfg = UniVLConfig.tiny()
+    sd = synth_reference_state_dict(cfg, rng)
+    tree, _ = convert_torch_state_dict(sd)
+    W = sd["similarity_dense.weight"]  # [1, H]
+    b = sd["similarity_dense.bias"]
+    x = rng.randn(3, cfg.bert.hidden_size).astype(np.float32)
+    got = x @ tree["similarity_dense"]["kernel"] + tree["similarity_dense"]["bias"]
+    expect = x @ W.T + b
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_tied_weights_single_source(rng):
+    """Decoder/MLM logits must follow the (single) word embedding table."""
+    cfg = UniVLConfig.tiny(stage_two=True, task_type="caption")
+    sd = synth_reference_state_dict(cfg, rng)
+    tree, _ = convert_torch_state_dict(sd)
+    # tied tensors were skipped, not duplicated
+    assert "classifier_transform" in tree["decoder"]
+    assert "embedding" in tree["word_embed"]
+    np.testing.assert_array_equal(
+        tree["word_embed"]["embedding"],
+        sd["bert.embeddings.word_embeddings.weight"],
+    )
+
+
+def test_save_restore_roundtrip(tmp_path, rng):
+    cfg = UniVLConfig.tiny()
+    model = UniVL(cfg)
+    batch = make_batch(cfg, rng)
+    variables = model.init(jax.random.key(0), batch, deterministic=True)
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, variables["params"], metadata={"epoch": 3, "global_step": 77})
+    zeros = jax.tree.map(jnp.zeros_like, variables["params"])
+    restored, meta = restore_checkpoint(path, zeros)
+    assert meta == {"epoch": 3, "global_step": 77}
+    for a, b in zip(jax.tree.leaves(variables["params"]), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,43 @@
+"""Checkpoint save/resume.
+
+Covers the reference's two checkpoint styles:
+  - per-epoch model dumps with best-metric selection
+    (main_task_retrieval.py:292-299,491-509)
+  - full train-state checkpoints {epoch, global_step, model, optimizer}
+    restored for pretraining resume (main_pretrain.py:258-308)
+
+Format: flax msgpack serialization + a JSON sidecar with step metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+from flax import serialization
+
+
+def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None) -> str:
+    """Serialize a pytree (params or full TrainState) to `path`."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    state = jax.device_get(state)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(state))
+    if metadata is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(metadata, f)
+    return path
+
+
+def restore_checkpoint(path: str, template: Any):
+    """Restore into the structure of `template` (same pytree layout)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    state = serialization.from_bytes(template, data)
+    meta = None
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return state, meta
