@@ -1,0 +1,106 @@
+"""Driver-level tests: run the CLI mains end-to-end on synthetic fixtures
+with small layer counts (full hidden size, tiny data)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from univl_tpu.data import fixtures
+
+
+@pytest.fixture(scope="module")
+def vocab(tmp_path_factory):
+    return fixtures.make_vocab(str(tmp_path_factory.mktemp("v") / "vocab.txt"))
+
+
+@pytest.fixture(scope="module")
+def youcook(tmp_path_factory):
+    return fixtures.make_youcook(
+        str(tmp_path_factory.mktemp("yc")), n_videos=4, clips_per_video=4,
+        video_dim=32,
+    )
+
+
+COMMON = [
+    "--video_dim", "32", "--max_words", "16", "--max_frames", "12",
+    "--text_num_hidden_layers", "2", "--visual_num_hidden_layers", "1",
+    "--cross_num_hidden_layers", "1", "--decoder_num_hidden_layers", "1",
+    "--hidden_size", "64", "--num_attention_heads", "4",
+    "--intermediate_size", "128",
+    "--batch_size", "8", "--batch_size_val", "8", "--epochs", "1",
+    "--lr", "1e-4", "--n_display", "1", "--num_thread_reader", "2",
+    "--seed", "0",
+]
+
+
+def test_retrieval_driver_train_eval(tmp_path, vocab, youcook):
+    from univl_tpu.cli.task_retrieval import main
+
+    csv_path, data_path, feat_path = youcook
+    out = str(tmp_path / "out")
+    best = main(
+        ["--do_train", "--do_eval", "--datatype", "youcook",
+         "--vocab_file", vocab,
+         "--train_csv", csv_path, "--val_csv", csv_path,
+         "--data_path", data_path, "--features_path", feat_path,
+         "--output_dir", out] + COMMON
+    )
+    assert best is not None and "R1" in best
+    assert os.path.exists(os.path.join(out, "params.msgpack.0"))
+    assert os.path.exists(os.path.join(out, "best.msgpack"))
+
+
+def test_retrieval_driver_eval_only(tmp_path, vocab, youcook):
+    from univl_tpu.cli.task_retrieval import main
+
+    csv_path, data_path, feat_path = youcook
+    m = main(
+        ["--do_eval", "--datatype", "youcook", "--vocab_file", vocab,
+         "--train_csv", csv_path, "--val_csv", csv_path,
+         "--data_path", data_path, "--features_path", feat_path,
+         "--output_dir", str(tmp_path / "out2")] + COMMON
+    )
+    assert 0.0 <= m["R1"] <= 1.0
+
+
+def test_caption_driver_train_eval(tmp_path, vocab, youcook):
+    from univl_tpu.cli.task_caption import main
+
+    csv_path, data_path, feat_path = youcook
+    out = str(tmp_path / "cap")
+    best = main(
+        ["--do_train", "--do_eval", "--stage_two", "--datatype", "youcook",
+         "--vocab_file", vocab,
+         "--train_csv", csv_path, "--val_csv", csv_path,
+         "--data_path", data_path, "--features_path", feat_path,
+         "--output_dir", out] + COMMON
+    )
+    assert best is not None and "Bleu_4" in best
+    assert os.path.exists(os.path.join(out, "hyp.0.txt"))
+
+
+def test_pretrain_driver_and_resume(tmp_path, vocab):
+    from univl_tpu.cli.pretrain import main
+
+    ht = str(tmp_path / "ht")
+    csv_path, data_path, feat_dir = fixtures.make_howto100m(
+        ht, n_videos=8, clips_per_video=4, video_dim=32, corrupt_last=False,
+    )
+    out = str(tmp_path / "pre")
+    argv = (
+        ["--do_pretrain", "--stage_two", "--sampled_use_mil", "--n_pair", "2",
+         "--vocab_file", vocab, "--train_csv", csv_path,
+         "--data_path", data_path, "--features_path", feat_dir,
+         "--output_dir", out, "--min_time", "5.0"] + COMMON
+    )
+    state = main(argv)
+    assert os.path.exists(os.path.join(out, "train_state.msgpack"))
+    step_after_1 = int(state.step)
+    assert step_after_1 >= 1
+
+    # resume for one more epoch
+    argv2 = [a for a in argv]
+    argv2[argv2.index("--epochs") + 1] = "2"
+    state2 = main(argv2 + ["--load_checkpoint"])
+    assert int(state2.step) > step_after_1

@@ -1,0 +1,308 @@
+"""Shared CLI plumbing for the three drivers.
+
+Flag surface mirrors the reference argparse blocks
+(main_task_retrieval.py:27-107, main_task_caption.py:28-108,
+main_pretrain.py:26-113) with the same names and semantics, plus TPU-native
+knobs (--vocab_file, --compute_dtype, --no_pallas, --remat).
+
+Differences from the reference runtime model:
+  - no torch.distributed.launch: one process drives the whole mesh
+  - --n_gpu becomes the mesh size (defaults to all local devices)
+  - --fp16 maps to bfloat16 compute (the reference parses apex flags it
+    never applies, SURVEY.md §2.2)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def get_logger(output_dir: Optional[str] = None, name: str = "univl_tpu"):
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(output_dir, "log.txt"))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--do_pretrain", action="store_true")
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_eval", action="store_true")
+
+    p.add_argument("--train_csv", type=str, default="data/youcookii_singlef_train.csv")
+    p.add_argument("--val_csv", type=str, default="data/youcookii_singlef_val.csv")
+    p.add_argument("--data_path", type=str, default="data/youcookii_caption.pickle")
+    p.add_argument("--features_path", type=str, default="data/youcookii_videos_feature.pickle")
+
+    p.add_argument("--num_thread_reader", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--batch_size_val", type=int, default=64)
+    p.add_argument("--lr_decay", type=float, default=0.9)  # parsed, unused (parity)
+    p.add_argument("--n_display", type=int, default=100)
+    p.add_argument("--video_dim", type=int, default=1024)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max_words", type=int, default=20)
+    p.add_argument("--max_frames", type=int, default=100)
+    p.add_argument("--feature_framerate", type=float, default=1)
+    p.add_argument("--margin", type=float, default=0.1)
+    p.add_argument("--hard_negative_rate", type=float, default=0.5)
+    p.add_argument("--negative_weighting", type=int, default=1)
+    p.add_argument("--n_pair", type=int, default=1)
+
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--bert_model", type=str, default="bert-base-uncased")
+    p.add_argument("--visual_model", type=str, default="visual-base")
+    p.add_argument("--cross_model", type=str, default="cross-base")
+    p.add_argument("--decoder_model", type=str, default="decoder-base")
+    p.add_argument("--init_model", type=str, default=None,
+                   help="torch .bin or flax .msgpack params to initialize from")
+    p.add_argument("--do_lower_case", action="store_true")
+    p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--n_gpu", type=int, default=0,
+                   help="mesh size; 0 = all local devices")
+    p.add_argument("--cache_dir", type=str, default="")
+    p.add_argument("--fp16", action="store_true", help="bfloat16 compute on TPU")
+    p.add_argument("--fp16_opt_level", type=str, default="O1")  # parity, unused
+
+    p.add_argument("--task_type", type=str, default="retrieval")
+    p.add_argument("--datatype", type=str, default="youcook")
+    p.add_argument("--world_size", type=int, default=0)
+    p.add_argument("--local_rank", type=int, default=0)
+    p.add_argument("--coef_lr", type=float, default=0.1)
+    p.add_argument("--use_mil", action="store_true")
+    p.add_argument("--sampled_use_mil", action="store_true")
+
+    p.add_argument("--text_num_hidden_layers", type=int, default=12)
+    p.add_argument("--visual_num_hidden_layers", type=int, default=6)
+    p.add_argument("--cross_num_hidden_layers", type=int, default=2)
+    p.add_argument("--decoder_num_hidden_layers", type=int, default=3)
+
+    p.add_argument("--train_sim_after_cross", action="store_true")
+    p.add_argument("--expand_msrvtt_sentences", action="store_true")
+    p.add_argument("--stage_two", action="store_true")
+
+    # TPU-native knobs
+    p.add_argument("--vocab_file", type=str, default=None,
+                   help="WordPiece vocab.txt (required; no network download)")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--hidden_size", type=int, default=768)
+    p.add_argument("--num_attention_heads", type=int, default=12)
+    p.add_argument("--intermediate_size", type=int, default=3072)
+    return p
+
+
+def finalize_args(args):
+    if args.gradient_accumulation_steps < 1:
+        raise ValueError("gradient_accumulation_steps must be >= 1")
+    if not (args.do_train or args.do_eval or args.do_pretrain):
+        raise ValueError("one of do_train / do_eval / do_pretrain required")
+    # reference divides the global batch by grad accumulation up front
+    # (main_task_retrieval.py:105)
+    args.batch_size = int(args.batch_size / args.gradient_accumulation_steps)
+    if args.sampled_use_mil:
+        args.use_mil = True
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+    os.environ["PYTHONHASHSEED"] = str(args.seed)
+    return args
+
+
+def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
+                 vocab_size: Optional[int] = None):
+    import jax
+
+    from univl_tpu.config import UniVLConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = args.compute_dtype or (
+        "bfloat16" if (on_tpu or args.fp16) else "float32"
+    )
+    n_dev = args.n_gpu or len(jax.devices())
+    micro_global = args.batch_size  # already divided by grad accum
+    bs_per_dev = max(1, micro_global // n_dev)
+    cfg = UniVLConfig.base(
+        text_num_hidden_layers=args.text_num_hidden_layers,
+        visual_num_hidden_layers=args.visual_num_hidden_layers,
+        cross_num_hidden_layers=args.cross_num_hidden_layers,
+        decoder_num_hidden_layers=args.decoder_num_hidden_layers,
+        max_words=args.max_words,
+        max_frames=args.max_frames,
+        video_dim=args.video_dim,
+        margin=args.margin,
+        hard_negative_rate=args.hard_negative_rate,
+        negative_weighting=bool(args.negative_weighting),
+        n_pair=args.n_pair,
+        use_mil=args.use_mil,
+        sampled_use_mil=args.sampled_use_mil,
+        stage_two=stage_two or args.stage_two,
+        train_sim_after_cross=args.train_sim_after_cross,
+        do_pretrain=args.do_pretrain,
+        task_type=task_type,
+        batch_size_per_device=bs_per_dev,
+        compute_dtype=dtype,
+        use_pallas=(on_tpu and not args.no_pallas),
+        remat=args.remat,
+    )
+    arch = {}
+    if args.hidden_size != 768:
+        arch.update(hidden_size=args.hidden_size)
+    if args.num_attention_heads != 12:
+        arch.update(num_attention_heads=args.num_attention_heads)
+    if args.intermediate_size != 3072:
+        arch.update(intermediate_size=args.intermediate_size)
+    bert = cfg.bert.replace(**arch) if arch else cfg.bert
+    visual = cfg.visual.replace(**arch) if arch else cfg.visual
+    cross = cfg.cross.replace(**arch) if arch else cfg.cross
+    decoder = cfg.decoder.replace(**arch) if arch else cfg.decoder
+    if vocab_size is not None:
+        bert = bert.replace(vocab_size=vocab_size)
+        decoder = decoder.replace(vocab_size=vocab_size)
+    if args.video_dim != visual.vocab_size:
+        visual = visual.replace(vocab_size=args.video_dim)
+    if arch or vocab_size is not None or args.video_dim != 1024:
+        cfg = cfg.replace(bert=bert, visual=visual, cross=cross, decoder=decoder)
+    return cfg.validate()
+
+
+def load_init_params(args, model, example_batch, logger):
+    """Initialize params; overlay --init_model (torch .bin or msgpack)."""
+    import jax
+
+    from univl_tpu.checkpoint.io import restore_checkpoint
+    from univl_tpu.checkpoint.torch_convert import (
+        convert_torch_state_dict,
+        load_torch_bin,
+        merge_params,
+    )
+
+    variables = jax.jit(lambda r: model.init(r, example_batch, deterministic=True))(
+        jax.random.key(args.seed)
+    )
+    params = variables["params"]
+    if args.init_model:
+        if args.init_model.endswith(".msgpack"):
+            params, _ = restore_checkpoint(args.init_model, params)
+            logger.info("restored flax params from %s", args.init_model)
+        else:
+            sd = load_torch_bin(args.init_model)
+            tree, report = convert_torch_state_dict(sd)
+            params, missing = merge_params(params, tree)
+            logger.info(
+                "converted %d torch params (%d skipped/tied, %d unknown); "
+                "%d flax params left at init",
+                len(report["converted"]), len(report["skipped"]),
+                len(report["unknown"]), len(missing),
+            )
+            if report["unknown"]:
+                logger.info("unknown torch params: %s", report["unknown"][:20])
+    return params
+
+
+def make_trainer(args, model, n_train_batches: int, logger):
+    import jax
+
+    from univl_tpu.parallel.mesh import make_mesh
+    from univl_tpu.train.optimization import make_univl_optimizer
+    from univl_tpu.train.trainer import Trainer
+
+    n_dev = args.n_gpu or len(jax.devices())
+    mesh = make_mesh(n_dev)
+    t_total = n_train_batches * args.epochs
+    tx = make_univl_optimizer(
+        lr=args.lr,
+        t_total=max(t_total, 1),
+        warmup_proportion=args.warmup_proportion,
+        coef_lr=args.coef_lr,
+    )
+    trainer = Trainer(
+        model, tx, mesh, grad_accum_steps=args.gradient_accumulation_steps
+    )
+    logger.info("mesh: %d device(s); t_total=%d", n_dev, t_total)
+    return trainer
+
+
+def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
+                     select_key=None, select_sign=1.0):
+    """Generic epoch loop: train, optionally eval + best-model selection.
+
+    Returns (state, best_metrics). Saves per-epoch checkpoints like the
+    reference (pytorch_model.bin.<epoch> -> params.msgpack.<epoch>).
+    """
+    import jax
+
+    from univl_tpu.checkpoint.io import save_checkpoint
+    from univl_tpu.data.batching import prefetch_to_device
+
+    best = None
+    best_score = -np.inf
+    global_step = 0
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        total_loss, n_steps = 0.0, 0
+        accum = args.gradient_accumulation_steps
+        it = prefetch_to_device(
+            (
+                {k: (v if accum > 1 else v[None]) for k, v in b.items()}
+                for b in batcher.epoch(epoch)
+            ),
+            put=trainer.shard_batch,
+        )
+        for step, batch in enumerate(it):
+            state, metrics = trainer.train_step(
+                state, batch, jax.random.fold_in(jax.random.key(args.seed), global_step)
+            )
+            global_step += 1
+            n_steps += 1
+            loss = float(metrics["loss"])
+            total_loss += loss
+            if global_step % args.n_display == 0:
+                logger.info(
+                    "Epoch %d/%d Step %d Loss %.6f Time/step %.3f",
+                    epoch + 1, args.epochs, global_step, loss,
+                    (time.time() - t0) / n_steps,
+                )
+        logger.info("Epoch %d done: mean loss %.6f (%.1fs)",
+                    epoch + 1, total_loss / max(n_steps, 1), time.time() - t0)
+
+        ckpt = os.path.join(args.output_dir, f"params.msgpack.{epoch}")
+        save_checkpoint(ckpt, state.params,
+                        metadata={"epoch": epoch, "global_step": global_step})
+
+        if eval_fn is not None:
+            metrics = eval_fn(state.params, epoch)
+            score = select_sign * metrics[select_key]
+            if score > best_score:
+                best_score = score
+                best = dict(metrics, epoch=epoch)
+                save_checkpoint(
+                    os.path.join(args.output_dir, "best.msgpack"), state.params,
+                    metadata={"epoch": epoch, "metrics": {k: float(v) for k, v in metrics.items() if isinstance(v, (int, float))}},
+                )
+            logger.info("Eval epoch %d: %s", epoch + 1, metrics)
+    if best is not None:
+        logger.info("Best: %s", best)
+    return state, best

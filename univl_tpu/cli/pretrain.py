@@ -1,0 +1,132 @@
+"""HowTo100M pretraining driver (reference: main_pretrain.py).
+
+Stage I (reference README.md:212-223):
+    python -m univl_tpu.cli.pretrain --do_pretrain --vocab_file vocab.txt \
+        --train_csv HowTo100M.csv --data_path caption.pickle \
+        --features_path features_dir --output_dir ckpt \
+        --batch_size 1920 --gradient_accumulation_steps 16 --n_pair 3 \
+        --lr 1e-4 --max_words 48 --max_frames 64 --sampled_use_mil
+
+Stage II adds: --stage_two --pretrain_enhance_vmodal (README.md:233-247).
+
+Checkpoint/resume: saves {params, opt_state, epoch, global_step} each epoch
+(reference main_pretrain.py:258-308); resume with --load_checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+
+import numpy as np
+
+from univl_tpu.cli import common
+
+
+def add_pretrain_args(p):
+    p.add_argument("--min_words", type=int, default=0)
+    p.add_argument("--min_time", type=float, default=5.0)
+    p.add_argument("--use_data_replicate", type=int, default=0)  # parity, unused
+    p.add_argument("--pretrain_enhance_vmodal", action="store_true")
+    p.add_argument("--load_checkpoint", action="store_true")
+    p.add_argument("--checkpoint_model", type=str, default="pytorch_model.bin.checkpoint")
+    return p
+
+
+def main(argv=None):
+    parser = add_pretrain_args(common.base_parser("UniVL-TPU Pretrain"))
+    args = parser.parse_args(argv)
+    args.do_pretrain = True
+    args = common.finalize_args(args)
+    logger = common.get_logger(args.output_dir)
+    assert args.vocab_file, "--vocab_file required"
+
+    import jax
+
+    from univl_tpu.checkpoint.io import restore_checkpoint, save_checkpoint
+    from univl_tpu.data.batching import Batcher, prefetch_to_device
+    from univl_tpu.data.howto100m import HowTo100MPretrainDataset
+    from univl_tpu.data.tokenization import WordPieceTokenizer
+    from univl_tpu.models.univl import UniVL
+
+    tokenizer = WordPieceTokenizer(args.vocab_file)
+    cfg = common.build_config(args, task_type="retrieval", vocab_size=len(tokenizer))
+    model = UniVL(cfg)
+
+    with open(args.data_path, "rb") as f:
+        data_dict = pickle.load(f)
+    ds = HowTo100MPretrainDataset(
+        args.train_csv, data_dict, args.features_path, tokenizer,
+        feature_framerate=args.feature_framerate,
+        max_words=args.max_words, max_frames=args.max_frames,
+        min_words=args.min_words, min_time=args.min_time,
+        n_pair=args.n_pair, only_sim=not args.stage_two,
+        use_mil=args.use_mil, sampled_use_mil=args.sampled_use_mil,
+        pretrain_enhance_vmodal=args.pretrain_enhance_vmodal,
+        video_dim=args.video_dim, seed=args.seed,
+    )
+
+    # per-sample arrays already carry the n_pair leading dim; the model
+    # flattens, so the loader batch size stays in samples.
+    example = ds[0]
+    example_batch = {k: np.stack([v] * cfg.batch_size_per_device) for k, v in example.items()}
+    params = common.load_init_params(args, model, example_batch, logger)
+
+    batcher = Batcher(
+        ds, args.batch_size, shuffle=True, seed=args.seed,
+        grad_accum=args.gradient_accumulation_steps,
+        num_workers=args.num_thread_reader,
+    )
+    trainer = common.make_trainer(args, model, len(batcher), logger)
+    state = trainer.init_state(jax.random.key(args.seed), example_batch)
+    state = state.replace(params=params)
+
+    start_epoch, global_step = 0, 0
+    ckpt_path = os.path.join(args.output_dir, "train_state.msgpack")
+    if args.load_checkpoint and os.path.exists(ckpt_path):
+        state, meta = restore_checkpoint(ckpt_path, state)
+        start_epoch = int(meta["epoch"]) + 1
+        global_step = int(meta["global_step"])
+        logger.info("resumed from epoch %d, global_step %d", start_epoch, global_step)
+
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        total_loss, n_steps = 0.0, 0
+        accum = args.gradient_accumulation_steps
+        it = prefetch_to_device(
+            (
+                {k: (v if accum > 1 else v[None]) for k, v in b.items()}
+                for b in batcher.epoch(epoch)
+            ),
+            put=trainer.shard_batch,
+        )
+        for batch in it:
+            state, metrics = trainer.train_step(
+                state, batch,
+                jax.random.fold_in(jax.random.key(args.seed), global_step),
+            )
+            global_step += 1
+            n_steps += 1
+            total_loss += float(metrics["loss"])
+            if global_step % args.n_display == 0:
+                logger.info(
+                    "Epoch %d Step %d Loss %.6f (%s) Time/step %.3f",
+                    epoch + 1, global_step, float(metrics["loss"]),
+                    {k: round(float(v), 4) for k, v in metrics.items() if k != "loss"},
+                    (time.time() - t0) / n_steps,
+                )
+        logger.info("Epoch %d done: mean loss %.6f", epoch + 1,
+                    total_loss / max(n_steps, 1))
+        # full train-state checkpoint incl optimizer (main_pretrain.py:258-276)
+        save_checkpoint(ckpt_path, state,
+                        metadata={"epoch": epoch, "global_step": global_step})
+        save_checkpoint(
+            os.path.join(args.output_dir, f"params.msgpack.{epoch}"), state.params,
+            metadata={"epoch": epoch, "global_step": global_step},
+        )
+    return state
+
+
+if __name__ == "__main__":
+    main()
