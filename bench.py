@@ -38,7 +38,7 @@ def main():
     batch_per_dev = 32
     cfg = UniVLConfig.base(
         compute_dtype="bfloat16" if on_tpu else "float32",
-        use_pallas=on_tpu,
+        use_pallas=False,  # XLA attention measured faster (docs/PERF.md)
         batch_size_per_device=batch_per_dev,
     )
     model = UniVL(cfg)

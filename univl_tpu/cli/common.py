@@ -3,7 +3,7 @@
 Flag surface mirrors the reference argparse blocks
 (main_task_retrieval.py:27-107, main_task_caption.py:28-108,
 main_pretrain.py:26-113) with the same names and semantics, plus TPU-native
-knobs (--vocab_file, --compute_dtype, --no_pallas, --remat).
+knobs (--vocab_file, --compute_dtype, --use_pallas, --remat).
 
 Differences from the reference runtime model:
   - no torch.distributed.launch: one process drives the whole mesh
@@ -107,7 +107,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="WordPiece vocab.txt (required; no network download)")
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
-    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="opt into the fused Pallas attention kernel "
+                        "(measured slower than XLA at UniVL shapes, docs/PERF.md)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--hidden_size", type=int, default=768)
     p.add_argument("--num_attention_heads", type=int, default=12)
@@ -164,7 +166,7 @@ def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
         task_type=task_type,
         batch_size_per_device=bs_per_dev,
         compute_dtype=dtype,
-        use_pallas=(on_tpu and not args.no_pallas),
+        use_pallas=(on_tpu and args.use_pallas),
         remat=args.remat,
     )
     arch = {}

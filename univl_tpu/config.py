@@ -135,7 +135,11 @@ class UniVLConfig:
 
     # --- TPU-native knobs (no reference equivalent) ---
     compute_dtype: str = "float32"  # "bfloat16" for TPU speed
-    use_pallas: bool = True  # fused kernels on TPU; pure-XLA fallback elsewhere
+    # Fused Pallas attention is available (univl_tpu/kernels/attention.py) but
+    # measured SLOWER than XLA's fused path at UniVL's short sequence lengths
+    # (0.6-0.85x at L=48..224, D=64: MXU lane padding outweighs fusion —
+    # see docs/PERF.md), so XLA is the default compute path.
+    use_pallas: bool = False
     remat: bool = False  # jax.checkpoint on encoder layers
 
     @property
