@@ -1,0 +1,86 @@
+"""Native C++ tokenizer: parity with the Python implementation + fallback."""
+
+import os
+
+import numpy as np
+import pytest
+
+from univl_tpu.data import fixtures
+from univl_tpu.data.tokenization import WordPieceTokenizer
+
+
+@pytest.fixture(scope="module")
+def vocab_file(tmp_path_factory):
+    return fixtures.make_vocab(str(tmp_path_factory.mktemp("v") / "vocab.txt"))
+
+
+@pytest.fixture(scope="module")
+def native_tok(vocab_file):
+    tok = WordPieceTokenizer(vocab_file)
+    if tok._native is None:
+        pytest.skip("native tokenizer unavailable (no g++?)")
+    return tok
+
+
+@pytest.fixture(scope="module")
+def python_tok(vocab_file, monkeypatch_module=None):
+    os.environ["UNIVL_TPU_NO_NATIVE"] = "1"
+    try:
+        tok = WordPieceTokenizer(vocab_file)
+    finally:
+        del os.environ["UNIVL_TPU_NO_NATIVE"]
+    assert tok._native is None
+    return tok
+
+
+CASES = [
+    "Add the chopped onions, then STIR well!",
+    "heat some olive oil in a pan",
+    "a" * 150,  # > max chars per word -> UNK
+    "mix   flour\tand water\n",
+    "salt... pepper?! (garlic)",
+    "",
+    "   ",
+    "add-the-onions",
+    "123 mix 45x",
+    "zzz unknownword qqq",
+]
+
+
+def test_native_matches_python(native_tok, python_tok):
+    for text in CASES:
+        got = native_tok.tokenize(text)
+        expect = python_tok.tokenize(text)
+        assert got == expect, (text, got, expect)
+
+
+def test_native_unicode_fallback(native_tok, python_tok):
+    # non-ASCII must fall back to the Python path and still be correct
+    for text in ["café olé", "添加洋葱 then stir", "naïve mix"]:
+        assert native_tok.tokenize(text) == python_tok.tokenize(text)
+
+
+def test_native_random_corpus(native_tok, python_tok, rng):
+    words = list(python_tok.vocab.keys())[5:40] + ["stirring", "xyzzy", "a1b2"]
+    for _ in range(200):
+        n = rng.randint(1, 12)
+        text = " ".join(words[i] for i in rng.randint(0, len(words), n))
+        assert native_tok.tokenize(text) == python_tok.tokenize(text)
+
+
+def test_native_is_faster(native_tok, python_tok):
+    """Informational speed check; asserts only a sane lower bound."""
+    import time
+
+    text = "add the chopped onions and stir well then pour some olive oil " * 5
+    for tok, label in ((native_tok, "native"), (python_tok, "python")):
+        t0 = time.perf_counter()
+        for _ in range(300):
+            tok.tokenize(text)
+        dt = time.perf_counter() - t0
+        if label == "native":
+            native_t = dt
+        else:
+            python_t = dt
+    # native should not be slower; typically 10-50x faster
+    assert native_t < python_t, (native_t, python_t)

@@ -160,7 +160,13 @@ class GreedyWordpiece:
 
 
 class WordPieceTokenizer:
-    """End-to-end tokenizer with the reference BertTokenizer's interface."""
+    """End-to-end tokenizer with the reference BertTokenizer's interface.
+
+    Uses the native C++ fast path (csrc/wordpiece.cc via ctypes) for ASCII
+    inputs when available; falls back to the pure-Python implementation for
+    Unicode text or when the toolchain is absent. Disable the native path
+    with UNIVL_TPU_NO_NATIVE=1.
+    """
 
     def __init__(self, vocab_file: str, do_lower_case: bool = True):
         if not os.path.isfile(vocab_file):
@@ -170,11 +176,23 @@ class WordPieceTokenizer:
         self.basic = BasicTokenizer(do_lower_case=do_lower_case)
         self.wordpiece = GreedyWordpiece(self.vocab)
         self._vocab_tokens = list(self.vocab.keys())
+        self._native = None
+        if not os.environ.get("UNIVL_TPU_NO_NATIVE"):
+            try:
+                from univl_tpu.data.native import NativeWordPiece
+
+                self._native = NativeWordPiece(self._vocab_tokens, do_lower_case)
+            except Exception:
+                self._native = None
 
     def __len__(self) -> int:
         return len(self.vocab)
 
     def tokenize(self, text: str) -> List[str]:
+        if self._native is not None:
+            ids = self._native.tokenize_ids(text)
+            if ids is not None:
+                return [self._vocab_tokens[i] for i in ids]
         out: List[str] = []
         for tok in self.basic.tokenize(text):
             out.extend(self.wordpiece.tokenize(tok))
