@@ -223,3 +223,26 @@ def test_compute_caption_metrics_keys():
     assert set(m) == {"Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
                       "METEOR", "ROUGE_L", "CIDEr"}
     assert m["Bleu_1"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_sharded_evaluator_matches_single(tiny_setup, rng):
+    """Mesh-sharded eval (parallel_apply equivalent) must match 1-device."""
+    from univl_tpu.parallel.mesh import make_mesh
+
+    cfg, model, params = tiny_setup
+    base = RetrievalEvaluator(model, params, batch_size=4,
+                              cross_text_block=2, cross_video_block=8)
+    enc = base.encode_dataset(_eval_batches(cfg, rng, n_batches=2))
+    sim_1 = base.cross_sim_matrix(enc)
+    joint_1 = base.joint_sim_matrix(enc)
+
+    mesh = make_mesh()
+    sharded = RetrievalEvaluator(model, params, batch_size=4,
+                                 cross_text_block=1, cross_video_block=8,
+                                 mesh=mesh)
+    rng2 = np.random.RandomState(0)
+    enc_s = sharded.encode_dataset(_eval_batches(cfg, rng2, n_batches=2))
+    sim_8 = sharded.cross_sim_matrix(enc_s)
+    joint_8 = sharded.joint_sim_matrix(enc_s)
+    np.testing.assert_allclose(joint_1, joint_8, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sim_1, sim_8, rtol=1e-4, atol=1e-5)

@@ -49,12 +49,28 @@ class RetrievalEvaluator:
         batch_size: int = 64,
         cross_text_block: int = 8,
         cross_video_block: int = 64,
+        mesh=None,
     ):
+        """``mesh``: optional 1-D dp Mesh. When given, encode batches and
+        cross-rescoring text blocks are sharded over the mesh's batch dim —
+        the TPU equivalent of the reference's thread-per-GPU parallel_apply
+        fan-out (util.py:21-60, main_task_retrieval.py:406-440), except XLA
+        partitions one compiled program instead of replicating the model."""
         self.model = model
         self.params = params
         self.batch_size = batch_size
         self.tb = cross_text_block
         self.vb = cross_video_block
+        self.mesh = mesh
+        self._n_dev = mesh.devices.size if mesh is not None else 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            self._shard_rows = NamedSharding(mesh, P(axis))
+            self._repl = NamedSharding(mesh, P())
+        else:
+            self._shard_rows = self._repl = None
 
         @jax.jit
         def encode_fn(params, input_ids, token_type_ids, attention_mask, video, video_mask):
@@ -87,7 +103,15 @@ class RetrievalEvaluator:
         """Pass 1: encode all clips; returns host-side arrays."""
         seqs, viss, ams, vms, texts, videos = [], [], [], [], [], []
         for batch in batches:
-            batch, n = _pad_batch(batch, self.batch_size)
+            # pad to a multiple of the mesh so the batch dim shards evenly
+            size = self.batch_size
+            if self._n_dev > 1:
+                size = ((size + self._n_dev - 1) // self._n_dev) * self._n_dev
+            batch, n = _pad_batch(batch, size)
+            if self._shard_rows is not None:
+                batch = {
+                    k: jax.device_put(v, self._shard_rows) for k, v in batch.items()
+                }
             seq, vis = self._encode(
                 self.params,
                 batch["input_ids"], batch["token_type_ids"],
@@ -114,19 +138,29 @@ class RetrievalEvaluator:
         return enc["text_emb"] @ enc["video_emb"].T
 
     def cross_sim_matrix(self, enc) -> np.ndarray:
-        """FT-Align: cross-encoder rescoring over static-shape tiles."""
+        """FT-Align: cross-encoder rescoring over static-shape tiles.
+
+        With a mesh, each device rescored a row sub-block of the text tile
+        in the same compiled program (XLA partitions the batch dim)."""
         seq, vis, am, vm = enc["seq"], enc["vis"], enc["am"], enc["vm"]
         n = seq.shape[0]
-        tb, vb = self.tb, self.vb
+        tb = self.tb * self._n_dev
+        vb = self.vb
         sim = np.zeros((n, n), np.float32)
         for i0 in range(0, n, tb):
             i1 = min(i0 + tb, n)
             seq_i = _pad_rows(seq[i0:i1], tb)
             am_i = _pad_rows(am[i0:i1], tb)
+            if self._shard_rows is not None:
+                seq_i = jax.device_put(jnp.asarray(seq_i), self._shard_rows)
+                am_i = jax.device_put(jnp.asarray(am_i), self._shard_rows)
             for j0 in range(0, n, vb):
                 j1 = min(j0 + vb, n)
                 vis_j = _pad_rows(vis[j0:j1], vb)
                 vm_j = _pad_rows(vm[j0:j1], vb)
+                if self._repl is not None:
+                    vis_j = jax.device_put(jnp.asarray(vis_j), self._repl)
+                    vm_j = jax.device_put(jnp.asarray(vm_j), self._repl)
                 block = self._cross_block(self.params, seq_i, vis_j, am_i, vm_j)
                 sim[i0:i1, j0:j1] = np.asarray(block)[: i1 - i0, : j1 - j0]
         return sim
