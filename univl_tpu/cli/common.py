@@ -114,6 +114,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--hidden_size", type=int, default=768)
     p.add_argument("--num_attention_heads", type=int, default=12)
     p.add_argument("--intermediate_size", type=int, default=3072)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of early train steps")
     return p
 
 
@@ -146,6 +148,26 @@ def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
     n_dev = args.n_gpu or len(jax.devices())
     micro_global = args.batch_size  # already divided by grad accum
     bs_per_dev = max(1, micro_global // n_dev)
+    # Reference-style per-module JSON configs: when --bert_model /
+    # --visual_model / ... name a directory containing <kind>_config.json,
+    # load it (reference until_config.py:40-99); CLI layer flags override
+    # (update_attr semantics, modeling.py:98-104,133-158).
+    import os as _os
+
+    from univl_tpu.config import BertConfig, CrossConfig, DecoderConfig, VisualConfig
+
+    def _json_cfg(cls, model_dir, json_name):
+        path = _os.path.join(str(model_dir), json_name)
+        if _os.path.isdir(str(model_dir)) and _os.path.exists(path):
+            return cls.from_json(path)
+        return None
+
+    json_overrides = {
+        "bert": _json_cfg(BertConfig, args.bert_model, "bert_config.json"),
+        "visual": _json_cfg(VisualConfig, args.visual_model, "visual_config.json"),
+        "cross": _json_cfg(CrossConfig, args.cross_model, "cross_config.json"),
+        "decoder": _json_cfg(DecoderConfig, args.decoder_model, "decoder_config.json"),
+    }
     cfg = UniVLConfig.base(
         text_num_hidden_layers=args.text_num_hidden_layers,
         visual_num_hidden_layers=args.visual_num_hidden_layers,
@@ -169,6 +191,18 @@ def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
         use_pallas=(on_tpu and args.use_pallas),
         remat=args.remat,
     )
+    # JSON configs replace the defaults, then CLI layer counts re-apply
+    # (the reference's update_attr override order).
+    jb, jv, jc, jd = (json_overrides[k] for k in ("bert", "visual", "cross", "decoder"))
+    if jb is not None:
+        cfg = cfg.replace(bert=jb.replace(num_hidden_layers=args.text_num_hidden_layers))
+    if jv is not None:
+        cfg = cfg.replace(visual=jv.replace(num_hidden_layers=args.visual_num_hidden_layers))
+    if jc is not None:
+        cfg = cfg.replace(cross=jc.replace(num_hidden_layers=args.cross_num_hidden_layers))
+    if jd is not None:
+        cfg = cfg.replace(decoder=jd.replace(num_decoder_layers=args.decoder_num_hidden_layers))
+
     arch = {}
     if args.hidden_size != 768:
         arch.update(hidden_size=args.hidden_size)
@@ -259,9 +293,15 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
     from univl_tpu.checkpoint.io import save_checkpoint
     from univl_tpu.data.batching import prefetch_to_device
 
+    from univl_tpu.utils.profiling import StepTimer, trace as profiler_trace
+
     best = None
     best_score = -np.inf
     global_step = 0
+    timer = StepTimer()
+    items_per_step = args.batch_size * args.gradient_accumulation_steps
+    profile_dir = getattr(args, "profile_dir", None)
+    profiling = False
     for epoch in range(args.epochs):
         t0 = time.time()
         total_loss, n_steps = 0.0, 0
@@ -274,18 +314,30 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
             put=trainer.shard_batch,
         )
         for step, batch in enumerate(it):
+            if profile_dir and epoch == 0 and step == 2 and not profiling:
+                import jax as _jax
+
+                _jax.profiler.start_trace(profile_dir)
+                profiling = True
             state, metrics = trainer.train_step(
                 state, batch, jax.random.fold_in(jax.random.key(args.seed), global_step)
             )
             global_step += 1
             n_steps += 1
-            loss = float(metrics["loss"])
+            loss = float(metrics["loss"])  # sync point
             total_loss += loss
+            timer.tick(items_per_step)
+            if profiling and step == 7:
+                import jax as _jax
+
+                _jax.profiler.stop_trace()
+                profiling = False
+                logger.info("profiler trace written to %s", profile_dir)
             if global_step % args.n_display == 0:
                 logger.info(
-                    "Epoch %d/%d Step %d Loss %.6f Time/step %.3f",
+                    "Epoch %d/%d Step %d Loss %.6f Time/step %.3f (%.0f clips/s)",
                     epoch + 1, args.epochs, global_step, loss,
-                    (time.time() - t0) / n_steps,
+                    timer.ema or 0.0, timer.items_per_sec,
                 )
         logger.info("Epoch %d done: mean loss %.6f (%.1fs)",
                     epoch + 1, total_loss / max(n_steps, 1), time.time() - t0)
