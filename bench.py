@@ -51,15 +51,16 @@ def main():
     gb = _make_batch(cfg, batch_per_dev * n_dev, seed=1)
     batch = trainer.shard_batch({k: v[None] for k, v in gb.items()})
 
-    # compile + warmup
+    # compile + warmup (float() forces a real device sync; block_until_ready
+    # does NOT synchronize on the tunneled axon backend — see docs/PERF.md)
     state, metrics = trainer.train_step(state, batch, jax.random.key(1))
-    jax.block_until_ready(metrics)
+    _ = float(metrics["loss"])
 
     steps = 20 if on_tpu else 3
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = trainer.train_step(state, batch, jax.random.key(2 + i))
-    jax.block_until_ready(metrics)
+    _ = float(metrics["loss"])  # sync: the step chain serializes on device
     dt = (time.perf_counter() - t0) / steps
 
     clips_per_sec = batch_per_dev * n_dev / dt

@@ -1,0 +1,73 @@
+"""KV-cache incremental decoder parity vs the full-prefix flax decoder."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from univl_tpu.config import UniVLConfig
+from univl_tpu.evals.beam import make_beam_decode_fn, make_fast_beam_decode_fn
+from univl_tpu.evals.fast_decoder import FastDecoder
+from univl_tpu.models.univl import UniVL
+
+from test_model import make_batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UniVLConfig.tiny(stage_two=True, task_type="caption")
+    rng = np.random.RandomState(0)
+    model = UniVL(cfg)
+    batch = make_batch(cfg, rng, with_caption=True)
+    params = model.init(jax.random.key(0), batch, deterministic=True)
+    seq, vis = model.apply(
+        params, batch["input_ids"], batch["token_type_ids"],
+        batch["attention_mask"], batch["video"], batch["video_mask"],
+        method=UniVL.encode,
+    )
+    cross_out, _, concat_mask = model.apply(
+        params, seq, vis, batch["attention_mask"], batch["video_mask"],
+        method=UniVL.get_cross_output,
+    )
+    return cfg, model, params, batch, seq, vis, cross_out, concat_mask
+
+
+def test_step_logits_match_full_prefix(setup):
+    """Step-by-step incremental logits == full-prefix decoder logits at
+    every position, for a random teacher-forced sequence."""
+    cfg, model, params, batch, seq, vis, cross_out, concat_mask = setup
+    B = cross_out.shape[0]
+    L = 10
+    rng = np.random.RandomState(1)
+    tokens = rng.randint(0, cfg.decoder.vocab_size, (B, L)).astype(np.int32)
+    dec_mask = np.ones((B, L), np.int32)
+
+    full_logits = np.asarray(model.apply(
+        params, cross_out, concat_mask,
+        jnp.asarray(tokens), jnp.asarray(dec_mask),
+        method=UniVL.decode_step_logits,
+    ))
+
+    fd = FastDecoder(cfg.decoder, params["params"])
+    enc_kv = fd.precompute_enc_kv(cross_out)
+    enc_bias = ((1.0 - np.asarray(concat_mask, np.float32)) * -10000.0)[:, None, None, :]
+    cache = fd.init_cache(B, L)
+    for t in range(L):
+        logits_t, cache = fd.step(
+            jnp.asarray(tokens[:, t]), jnp.asarray(t), cache,
+            enc_kv, jnp.asarray(enc_bias),
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_t), full_logits[:, t], rtol=2e-4, atol=2e-4,
+        ), t
+
+
+def test_fast_beam_matches_full_beam(setup):
+    cfg, model, params, batch, seq, vis, _, _ = setup
+    for K in (1, 5):
+        slow = make_beam_decode_fn(model, K, 12, bos_id=2, eos_id=3)
+        fast = make_fast_beam_decode_fn(model, K, 12, bos_id=2, eos_id=3)
+        t1, s1 = slow(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+        t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)

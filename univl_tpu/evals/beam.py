@@ -105,6 +105,88 @@ def make_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
     return jax.jit(decode)
 
 
+def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
+                             bos_id: int, eos_id: int, pad_id: int = 0):
+    """KV-cached beam search: O(L) decoder work per hypothesis instead of the
+    full-prefix O(L^2) (see univl_tpu/evals/fast_decoder.py). Produces the
+    same hypotheses as make_beam_decode_fn (parity-tested)."""
+    from univl_tpu.evals.fast_decoder import FastDecoder
+
+    K = beam_size
+
+    def decode(params, sequence_output, visual_output, attention_mask, video_mask):
+        B = sequence_output.shape[0]
+        V = model.cfg.decoder.vocab_size
+
+        cross_out, _, concat_mask = model.apply(
+            params, sequence_output, visual_output, attention_mask, video_mask,
+            method=UniVL.get_cross_output,
+        )
+        cross_rep = jnp.repeat(cross_out, K, axis=0)
+        mask_rep = jnp.repeat(concat_mask, K, axis=0)
+        enc_bias = ((1.0 - mask_rep.astype(jnp.float32)) * -10000.0)[:, None, None, :]
+
+        cache_dtype = jnp.dtype(model.cfg.compute_dtype)
+        fd = FastDecoder(model.cfg.decoder, params["params"])
+        enc_kv = fd.precompute_enc_kv(cross_rep.astype(cache_dtype))
+        cache0 = fd.init_cache(B * K, max_len, dtype=cache_dtype)
+
+        seqs0 = jnp.full((B, K, max_len), pad_id, jnp.int32)
+        seqs0 = seqs0.at[:, :, 0].set(bos_id)
+        scores0 = jnp.where(
+            jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+        ).astype(jnp.float32) * jnp.ones((B, 1), jnp.float32)
+        done0 = jnp.zeros((B,), bool)
+
+        def step(carry, t):
+            seqs, scores, done, cache = carry
+            tok = seqs[:, :, t - 1].reshape(B * K)
+            logits, new_cache = fd.step(tok, t - 1, cache, enc_kv, enc_bias)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            logp = logp.reshape(B, K, V)
+
+            cand = scores[:, :, None] + logp
+            flat = cand.reshape(B, K * V)
+            top_scores, top_idx = jax.lax.top_k(flat, K)
+            prev_k = top_idx // V
+            next_y = (top_idx % V).astype(jnp.int32)
+
+            reordered = jnp.take_along_axis(seqs, prev_k[:, :, None], axis=1)
+            new_seqs = reordered.at[:, :, t].set(next_y)
+
+            # Reorder the KV cache to follow the surviving beams. Done
+            # instances keep their rows (identity permutation) — folding the
+            # done-freeze into the permutation avoids a second full-cache
+            # where(). One-hot matmul instead of gather: MXU-friendly.
+            prev_k_eff = jnp.where(
+                done[:, None], jnp.arange(K)[None, :], prev_k
+            )
+            perm = jax.nn.one_hot(prev_k_eff, K, dtype=cache_dtype)  # [B,Kn,Ko]
+
+            def reorder(c):
+                bk = c.shape[0]
+                cb = c.reshape(B, K, -1)
+                cb = jnp.einsum(
+                    "bnk,bkf->bnf", perm, cb.astype(cache_dtype)
+                )
+                return cb.reshape(c.shape)
+
+            cache = jax.tree.map(reorder, new_cache)
+
+            d3 = done[:, None, None]
+            seqs = jnp.where(d3, seqs, new_seqs)
+            scores = jnp.where(done[:, None], scores, top_scores)
+            done = done | (next_y[:, 0] == eos_id)
+            return (seqs, scores, done, cache), None
+
+        (seqs, scores, done, _), _ = jax.lax.scan(
+            step, (seqs0, scores0, done0, cache0), jnp.arange(1, max_len)
+        )
+        return seqs[:, 0, 1:], scores[:, 0]
+
+    return jax.jit(decode)
+
+
 def ids_to_text(ids, tokenizer) -> str:
     """Strip at first [SEP], drop [PAD], merge '##' wordpieces
     (reference: main_task_caption.py:553-575)."""
@@ -127,7 +209,8 @@ class CaptionGenerator:
     """Batched caption generation: encode -> beam decode -> text."""
 
     def __init__(self, model: UniVL, params, tokenizer, beam_size: int = 5,
-                 max_len: int = 48, batch_size: int = 16):
+                 max_len: int = 48, batch_size: int = 16,
+                 incremental: bool = True):
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
@@ -141,7 +224,8 @@ class CaptionGenerator:
             )
 
         self._encode = encode_fn
-        self._decode = make_beam_decode_fn(
+        make = make_fast_beam_decode_fn if incremental else make_beam_decode_fn
+        self._decode = make(
             model, beam_size, max_len,
             bos_id=tokenizer.bos_id, eos_id=tokenizer.eos_id,
             pad_id=tokenizer.pad_id,

@@ -1,0 +1,182 @@
+"""Incremental (KV-cache) caption decoder — the beam-search hot path.
+
+The reference re-encodes the FULL decode prefix through the decoder at every
+beam step (main_task_caption.py:434-477 -> modeling.py:393-407), i.e.
+O(L^2) decoder work per hypothesis. This module is a functional inference
+engine over the UniVL params tree:
+
+  - encoder-attention K/V are projected ONCE per sequence (precompute)
+  - self-attention K/V are cached per position; each step embeds one token
+    and attends over the cache -> O(L) total decoder work
+  - pure jnp on the params pytree (no flax module re-entry inside lax.scan)
+
+Exact-parity with CaptionDecoder's full-prefix logits is enforced by
+tests/test_fast_decoder.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from univl_tpu.config import DecoderConfig
+
+
+def _ln(x, p, eps=1e-12):
+    xf = x.astype(jnp.float32)
+    u = jnp.mean(xf, axis=-1, keepdims=True)
+    s = jnp.mean(jnp.square(xf - u), axis=-1, keepdims=True)
+    return ((xf - u) * jax.lax.rsqrt(s + eps) * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _dense(x, p):
+    return (
+        jnp.einsum("...i,io->...o", x, p["kernel"], preferred_element_type=jnp.float32)
+        + p["bias"]
+    ).astype(x.dtype)
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+# cache: tuple of per-layer (k, v) arrays, each [B, H, Lmax, D].
+# Per-layer arrays (not one stacked [n_layers, ...] buffer) keep XLA's
+# in-place dynamic-update-slice aliasing effective inside lax.scan, and the
+# beam reorder touches each layer independently.
+DecodeCache = Tuple
+
+
+class FastDecoder:
+    """Functional incremental decoder over the UniVL params tree."""
+
+    def __init__(self, cfg: DecoderConfig, params: Dict):
+        self.cfg = cfg
+        self.p = params["decoder"]
+        self.word_embed = params["word_embed"]["embedding"]
+        self.pos_embed = params["text_pos_embed"]["embedding"]
+        self.n_layers = cfg.num_decoder_layers
+        self.heads = cfg.num_attention_heads
+        self.head_dim = cfg.hidden_size // cfg.num_attention_heads
+
+    def _split(self, x):
+        # [B, T, H*D] -> [B, heads, T, D]
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+
+    # ---------------------------------------------------------------- #
+    def precompute_enc_kv(self, encoder_out: jax.Array):
+        """Per-layer encoder-attention K/V: tuple of ([B,H,Lenc,D], [B,H,Lenc,D])."""
+        out = []
+        for i in range(self.n_layers):
+            att = self.p[f"layer_{i}"]["enc_attn"]
+            out.append((
+                self._split(_dense(encoder_out, att["key"])),
+                self._split(_dense(encoder_out, att["value"])),
+            ))
+        return tuple(out)
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.float32) -> DecodeCache:
+        shape = (batch, self.heads, max_len, self.head_dim)
+        return tuple(
+            (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+            for _ in range(self.n_layers)
+        )
+
+    # ---------------------------------------------------------------- #
+    def step(
+        self,
+        tok: jax.Array,  # [B] int32 token at position t
+        t: jax.Array,  # scalar position
+        cache: DecodeCache,  # tuple of per-layer (k, v) [B, H, Lmax, D]
+        enc_kv: DecodeCache,  # tuple of per-layer (k, v) [B, H, Lenc, D]
+        enc_bias: jax.Array,  # [B, 1, 1, Lenc] additive
+    ) -> Tuple[jax.Array, DecodeCache]:
+        """Returns (logits [B, V], new cache). Embeds token at position t and
+        predicts position t+1's distribution."""
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, jnp.float32))
+        B = tok.shape[0]
+        Lmax = cache[0][0].shape[2]
+
+        x = self.word_embed[tok] + self.pos_embed[t]
+        x = _ln(x[:, None, :], self.p["embed_ln"])  # [B, 1, H]
+
+        pos_mask = (
+            jnp.arange(Lmax)[None, None, None, :] <= t
+        )  # [1,1,1,Lmax] keys up to and incl. t
+
+        new_cache = []
+        for i in range(self.n_layers):
+            lp = self.p[f"layer_{i}"]
+            slf = lp["self_attn"]
+            q = self._split(_dense(x, slf["query"]))  # [B, H, 1, D]
+            k_t = self._split(_dense(x, slf["key"]))
+            v_t = self._split(_dense(x, slf["value"]))
+            ck, cv = cache[i]
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k_t.astype(ck.dtype), t, axis=2
+            )
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v_t.astype(cv.dtype), t, axis=2
+            )
+            new_cache.append((ck, cv))
+
+            scores = (
+                jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, ck,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            scores = jnp.where(pos_mask, scores, -1e9)
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            ctx = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs, cv.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, -1)
+            slf_out = _ln(
+                _dense(ctx, lp["self_attn_output"]["dense"]) + x,
+                lp["self_attn_output"]["ln"],
+            )
+
+            enc = lp["enc_attn"]
+            ek, ev = enc_kv[i]
+            q2 = self._split(_dense(slf_out, enc["query"]))
+            scores2 = (
+                jnp.einsum(
+                    "bhqd,bhkd->bhqk", q2, ek,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            scores2 = scores2 + enc_bias.astype(jnp.float32)
+            probs2 = jax.nn.softmax(scores2, axis=-1).astype(x.dtype)
+            ctx2 = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs2, ev,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            ctx2 = ctx2.transpose(0, 2, 1, 3).reshape(B, 1, -1)
+            enc_out = _ln(
+                _dense(ctx2, lp["enc_attn_output"]["dense"]) + slf_out,
+                lp["enc_attn_output"]["ln"],
+            )
+
+            inter = _gelu(_dense(enc_out, lp["intermediate"]))
+            x = _ln(
+                _dense(inter, lp["output"]["dense"]) + enc_out,
+                lp["output"]["ln"],
+            )
+
+        ct = self.p["classifier_transform"]
+        h = _ln(_gelu(_dense(x, ct["dense"])), ct["ln"])  # [B, 1, H]
+        logits = (
+            jnp.einsum(
+                "bqh,vh->bqv", h, self.word_embed.astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + self.p["classifier_bias"]
+        )
+        return logits[:, 0, :], tuple(new_cache)
