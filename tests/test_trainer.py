@@ -77,3 +77,42 @@ def test_params_replicated_after_step(rng):
     # fully replicated leaves: sharding should be trivial (all devices same)
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_determinism_same_seed(rng):
+    """Two identical runs produce identical losses (SURVEY §4: the reference
+    relies on full seeding for reproducibility)."""
+    cfg = UniVLConfig.tiny()
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    model = UniVL(cfg)
+
+    def run():
+        tx = make_univl_optimizer(lr=1e-3, t_total=50)
+        tr = Trainer(model, tx, mesh)
+        state = tr.init_state(jax.random.key(0), make_batch(cfg, np.random.RandomState(0)))
+        batch = tr.shard_batch(global_batch(cfg, np.random.RandomState(0), n_dev))
+        out = []
+        for i in range(3):
+            state, m = tr.train_step(state, batch, jax.random.key(i))
+            out.append(float(m["loss"]))
+        return out
+
+    assert run() == run()
+
+
+def test_remat_matches_no_remat(rng):
+    """jax.checkpoint on encoder layers must not change the forward value."""
+    cfg = UniVLConfig.tiny()
+    cfg_r = cfg.replace(remat=True)
+    batch = make_batch(cfg, rng)
+    m1, m2 = UniVL(cfg), UniVL(cfg_r)
+    p = m1.init(jax.random.key(0), batch, deterministic=True)
+    out1 = m1.apply(p, batch, deterministic=True)
+    out2 = m2.apply(p, batch, deterministic=True)
+    np.testing.assert_allclose(
+        float(out1["loss"]), float(out2["loss"]), rtol=1e-6
+    )
+    # and gradients flow through the remat path
+    g = jax.grad(lambda pp: m2.apply(pp, batch, deterministic=True)["loss"])(p)
+    assert np.isfinite(np.asarray(jax.tree.leaves(g)[0])).all()
