@@ -263,3 +263,23 @@ def test_prefetch(youcook, tokenizer):
     b = Batcher(ds, batch_size=4, shuffle=False)
     out = list(prefetch_to_device(b.epoch(0), put=lambda x: x))
     assert len(out) == len(ds) // 4
+
+
+def test_batcher_process_sharding(youcook, tokenizer):
+    """Per-host slices must partition the global batch deterministically."""
+    csv_path, data_path, feat_path = youcook
+    ds = YoucookRetrievalDataset(csv_path, data_path, feat_path, tokenizer,
+                                 max_words=16, max_frames=12)
+    full = Batcher(ds, batch_size=8, shuffle=True, seed=3, grad_accum=2)
+    parts = [
+        Batcher(ds, batch_size=8, shuffle=True, seed=3, grad_accum=2,
+                process_index=i, process_count=2)
+        for i in range(2)
+    ]
+    fb = list(full.epoch(0))
+    p0 = list(parts[0].epoch(0))
+    p1 = list(parts[1].epoch(0))
+    assert len(fb) == len(p0) == len(p1)
+    for f, a, b in zip(fb, p0, p1):
+        merged = np.concatenate([a["input_ids"], b["input_ids"]], axis=1)
+        np.testing.assert_array_equal(f["input_ids"], merged)

@@ -37,7 +37,13 @@ class Batcher:
         drop_last: bool = True,
         grad_accum: int = 1,
         num_workers: int = 8,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``batch_size`` is the GLOBAL batch; in multi-host runs each host
+        materializes only its 1/process_count slice of every batch (same
+        seeded order on all hosts — the DistributedSampler equivalent)."""
+        assert batch_size % process_count == 0, (batch_size, process_count)
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -45,6 +51,9 @@ class Batcher:
         self.drop_last = drop_last
         self.grad_accum = grad_accum
         self.num_workers = num_workers
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local_batch = batch_size // process_count
 
     def __len__(self):
         chunk = self.batch_size * self.grad_accum
@@ -68,11 +77,17 @@ class Batcher:
                 idxs = order[off : off + chunk]
                 if len(idxs) < chunk and self.drop_last:
                     break
+                if self.process_count > 1:
+                    # host-local slice of each micro-batch
+                    idxs = idxs.reshape(self.grad_accum, self.batch_size)
+                    lo = self.process_index * self.local_batch
+                    idxs = idxs[:, lo : lo + self.local_batch].reshape(-1)
                 samples = list(ex.map(fetch, idxs))
                 batch = collate(samples)
                 if self.grad_accum > 1:
+                    lb = self.local_batch if self.process_count > 1 else self.batch_size
                     batch = {
-                        k: v.reshape(self.grad_accum, self.batch_size, *v.shape[1:])
+                        k: v.reshape(self.grad_accum, lb, *v.shape[1:])
                         for k, v in batch.items()
                     }
                 yield batch

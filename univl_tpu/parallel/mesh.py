@@ -27,3 +27,30 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = DP_AXIS) -> Mesh
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host bootstrap (no reference equivalent — the reference is
+    single-node torch.distributed.launch only, SURVEY §5).
+
+    On TPU pods the arguments are auto-detected from the environment; on
+    other platforms pass them explicitly. Returns jax.process_index().
+    Data parallelism then spans hosts: the global mesh covers all chips,
+    gradient psum rides ICI within a slice and DCN across slices — XLA
+    picks the collectives, no user code changes.
+    """
+    import jax
+
+    if num_processes is None and coordinator_address is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index()

@@ -160,6 +160,19 @@ class Trainer:
         return self._train_step(state, batch, rng)
 
     def shard_batch(self, batch: Dict[str, Any]):
-        """Place a host batch onto the mesh, sharded over axis 1 (global batch)."""
+        """Place a host batch onto the mesh, sharded over axis 1 (global batch).
+
+        Multi-host: each process passes its LOCAL slice (from a
+        process-sharded Batcher); the global array is assembled from the
+        per-process shards without any cross-host copy."""
         sharding = NamedSharding(self.mesh, P(None, DP_AXIS))
+        if jax.process_count() > 1:
+            import numpy as _np
+
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, _np.asarray(x)
+                ),
+                batch,
+            )
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
