@@ -84,3 +84,17 @@ def test_native_is_faster(native_tok, python_tok):
             python_t = dt
     # native should not be slower; typically 10-50x faster
     assert native_t < python_t, (native_t, python_t)
+
+
+def test_native_thread_safety(native_tok, python_tok):
+    """Concurrent tokenization from many threads must be corruption-free
+    (the Batcher tokenizes from a thread pool; regression test for a shared
+    output-buffer race)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    texts = [f"add the chopped onions {i} and stir well then pour" for i in range(64)]
+    expect = [python_tok.tokenize(t) for t in texts]
+    for _ in range(20):
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            got = list(ex.map(native_tok.tokenize, texts))
+        assert got == expect

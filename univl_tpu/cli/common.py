@@ -19,7 +19,7 @@ import logging
 import os
 import random
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -293,7 +293,7 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
     from univl_tpu.checkpoint.io import save_checkpoint
     from univl_tpu.data.batching import prefetch_to_device
 
-    from univl_tpu.utils.profiling import StepTimer, trace as profiler_trace
+    from univl_tpu.utils.profiling import StepTimer
 
     best = None
     best_score = -np.inf

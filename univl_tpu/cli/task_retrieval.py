@@ -12,9 +12,6 @@ FT-Align: add --train_sim_after_cross (reference README.md:93-95).
 
 from __future__ import annotations
 
-import os
-import sys
-
 import numpy as np
 
 from univl_tpu.cli import common

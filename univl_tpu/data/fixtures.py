@@ -11,7 +11,6 @@ import csv
 import json
 import os
 import pickle
-from typing import List
 
 import numpy as np
 

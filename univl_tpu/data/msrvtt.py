@@ -19,7 +19,6 @@ from typing import Dict, List
 import numpy as np
 
 from univl_tpu.data import text_encoding as te
-from univl_tpu.data.tokenization import WordPieceTokenizer
 
 
 def _read_csv(path: str) -> List[dict]:

@@ -17,8 +17,6 @@ import subprocess
 import threading
 from typing import List, Optional
 
-import numpy as np
-
 _CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
 _LOCK = threading.Lock()
 _LIB = None
@@ -70,7 +68,11 @@ def _build_lib() -> Optional[ctypes.CDLL]:
 
 class NativeWordPiece:
     """Native tokenizer handle. Returns None from tokenize_ids when the
-    input needs the Python fallback (non-ASCII or overflow)."""
+    input needs the Python fallback (non-ASCII or overflow).
+
+    Thread-safe: the tokenizer handle is immutable after construction and
+    the output buffer is thread-local (dataset readers tokenize from the
+    Batcher's thread pool concurrently)."""
 
     MAX_TOKENS = 4096
 
@@ -81,7 +83,7 @@ class NativeWordPiece:
         self._lib = lib
         blob = "\n".join(vocab_tokens).encode("utf-8")
         self._handle = lib.wp_create(blob, 1 if do_lower_case else 0)
-        self._buf = (ctypes.c_int32 * self.MAX_TOKENS)()
+        self._tls = threading.local()
 
     def __del__(self):
         try:
@@ -95,10 +97,14 @@ class NativeWordPiece:
             raw = text.encode("ascii")
         except UnicodeEncodeError:
             return None
-        n = self._lib.wp_tokenize(self._handle, raw, self._buf, self.MAX_TOKENS)
+        buf = getattr(self._tls, "buf", None)
+        if buf is None:
+            buf = (ctypes.c_int32 * self.MAX_TOKENS)()
+            self._tls.buf = buf
+        n = self._lib.wp_tokenize(self._handle, raw, buf, self.MAX_TOKENS)
         if n < 0:
             return None
-        return list(self._buf[:n])
+        return list(buf[:n])
 
 
 def available() -> bool:

@@ -12,7 +12,7 @@ from __future__ import annotations
 import collections
 import os
 import unicodedata
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 SPECIAL_TOKENS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
 

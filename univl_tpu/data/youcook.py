@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import csv as _csv
 import pickle
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -18,8 +18,7 @@ TPU-native design differences (same results, different machinery):
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -16,7 +16,7 @@ tests/test_fast_decoder.py.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

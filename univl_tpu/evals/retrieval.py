@@ -18,7 +18,6 @@ sim matrix assembly happens on host.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np

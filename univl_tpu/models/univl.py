@@ -23,7 +23,7 @@ converter, univl_tpu/checkpoint/torch_convert.py):
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ every decode step (reference: modeling.py:404).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -21,7 +21,7 @@ fp32; the attention core can be swapped for the fused Pallas kernel.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

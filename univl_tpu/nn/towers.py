@@ -15,8 +15,6 @@ caption decoder and the MLM head tie to them (reference: modeling.py:137-138,159
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -27,7 +25,6 @@ from univl_tpu.nn.layers import (
     Pooler,
     TransformerStack,
     additive_mask_bias,
-    _dense,
 )
 
 

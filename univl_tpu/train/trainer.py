@@ -17,7 +17,7 @@ main_pretrain.py:310-357) with a single compiled program per step:
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
