@@ -104,3 +104,42 @@ def test_pretrain_driver_and_resume(tmp_path, vocab):
     argv2[argv2.index("--epochs") + 1] = "2"
     state2 = main(argv2 + ["--load_checkpoint"])
     assert int(state2.step) > step_after_1
+
+
+@pytest.fixture(scope="module")
+def msrvtt_fix(tmp_path_factory):
+    return fixtures.make_msrvtt(str(tmp_path_factory.mktemp("mv")), video_dim=32,
+                                n_videos=8)
+
+
+def test_msrvtt_retrieval_driver(tmp_path, vocab, msrvtt_fix):
+    from univl_tpu.cli.task_retrieval import main
+
+    train_csv, test_csv, json_path, feat_path = msrvtt_fix
+    m = main(
+        ["--do_train", "--do_eval", "--datatype", "msrvtt",
+         "--expand_msrvtt_sentences", "--vocab_file", vocab,
+         "--train_csv", train_csv, "--val_csv", test_csv,
+         "--data_path", json_path, "--features_path", feat_path,
+         "--output_dir", str(tmp_path / "mvout")] + COMMON
+    )
+    assert m is not None and 0.0 <= m["R1"] <= 1.0
+
+
+def test_msrvtt_caption_driver_eval(tmp_path, vocab):
+    from univl_tpu.cli.task_caption import main
+
+    train_csv, test_csv, json_path, feat_path = fixtures.make_msrvtt(
+        str(tmp_path / "mvtest"), video_dim=32, n_videos=8,
+        caption_test_layout=True,
+    )
+    m = main(
+        ["--do_eval", "--stage_two", "--datatype", "msrvtt",
+         "--vocab_file", vocab,
+         "--train_csv", train_csv, "--val_csv", test_csv,
+         "--data_path", json_path, "--features_path", feat_path,
+         "--output_dir", str(tmp_path / "mvcap")] + COMMON
+    )
+    assert m is not None and "Bleu_4" in m
+    # multi-reference scoring: each video has 3 refs
+    assert 0.0 <= m["Bleu_4"] <= 1.0

@@ -95,11 +95,18 @@ def make_msrvtt(
     video_dim: int = 32,
     frames: int = 20,
     seed: int = 0,
+    id_offset: int = 0,
+    caption_test_layout: bool = False,
 ):
-    """Writes train csv, test csv (JSFUSION style), json, features pickle."""
+    """Writes train csv, test csv (JSFUSION style), json, features pickle.
+
+    ``caption_test_layout``: the reference's caption splits are POSITIONAL
+    over the json videos list (train=videos[:6513], test=videos[7010:],
+    dataloader_msrvtt_caption.py:39-44); when True, pad the json with dummy
+    caption-less video entries so the real videos land in the test split."""
     rng = np.random.RandomState(seed)
     os.makedirs(out_dir, exist_ok=True)
-    vids = [f"video{i}" for i in range(n_videos)]
+    vids = [f"video{i + id_offset}" for i in range(n_videos)]
 
     train_csv = os.path.join(out_dir, "msrvtt_train.csv")
     with open(train_csv, "w", newline="") as f:
@@ -112,10 +119,17 @@ def make_msrvtt(
     for v in vids:
         for _ in range(sentences_per_video):
             sentences.append({"video_id": v, "caption": _sentence(rng)})
+    video_entries = [
+        {"video_id": v, "url": f"https://x.test/watch?v={v}"} for v in vids
+    ]
+    if caption_test_layout:
+        dummies = [
+            {"video_id": f"dummy{i}", "url": f"https://x.test/watch?v=dummy{i}"}
+            for i in range(7010)
+        ]
+        video_entries = dummies + video_entries
     meta = {
-        "videos": [
-            {"video_id": v, "url": f"https://x.test/watch?v={v}"} for v in vids
-        ],
+        "videos": video_entries,
         "sentences": sentences,
     }
     json_path = os.path.join(out_dir, "msrvtt.json")
