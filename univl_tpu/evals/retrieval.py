@@ -98,8 +98,14 @@ class RetrievalEvaluator:
         self._cross_block = cross_block_fn
 
     # ------------------------------------------------------------ #
-    def encode_dataset(self, batches: Iterator[Dict[str, np.ndarray]]):
-        """Pass 1: encode all clips; returns host-side arrays."""
+    def encode_dataset(
+        self, batches: Iterator[Dict[str, np.ndarray]], store_full: bool = True
+    ):
+        """Pass 1: encode all clips; returns host-side arrays.
+
+        ``store_full=False`` keeps only the pooled embeddings (all the joint
+        mode needs) — full [N, L, H] encoder outputs are only transferred for
+        FT-Align rescoring."""
         seqs, viss, ams, vms, texts, videos = [], [], [], [], [], []
         for batch in batches:
             # pad to a multiple of the mesh so the batch dim shards evenly
@@ -117,20 +123,25 @@ class RetrievalEvaluator:
                 batch["attention_mask"], batch["video"], batch["video_mask"],
             )
             t, v = self._pool(seq, vis, batch["attention_mask"], batch["video_mask"])
-            seqs.append(np.asarray(seq[:n], np.float32))
-            viss.append(np.asarray(vis[:n], np.float32))
-            ams.append(batch["attention_mask"][:n])
-            vms.append(batch["video_mask"][:n])
+            if store_full:
+                seqs.append(np.asarray(seq[:n], np.float32))
+                viss.append(np.asarray(vis[:n], np.float32))
+                ams.append(np.asarray(batch["attention_mask"])[:n])
+                vms.append(np.asarray(batch["video_mask"])[:n])
             texts.append(np.asarray(t[:n], np.float32))
             videos.append(np.asarray(v[:n], np.float32))
-        return {
-            "seq": np.concatenate(seqs),
-            "vis": np.concatenate(viss),
-            "am": np.concatenate(ams),
-            "vm": np.concatenate(vms),
+        out = {
             "text_emb": np.concatenate(texts),
             "video_emb": np.concatenate(videos),
         }
+        if store_full:
+            out.update(
+                seq=np.concatenate(seqs),
+                vis=np.concatenate(viss),
+                am=np.concatenate(ams),
+                vm=np.concatenate(vms),
+            )
+        return out
 
     # ------------------------------------------------------------ #
     def joint_sim_matrix(self, enc) -> np.ndarray:
@@ -175,7 +186,7 @@ class RetrievalEvaluator:
                 if (self.model.cfg.train_sim_after_cross or self.model.cfg.stage_two)
                 else "joint"
             )
-        enc = self.encode_dataset(batches)
+        enc = self.encode_dataset(batches, store_full=(mode == "cross"))
         sim = self.joint_sim_matrix(enc) if mode == "joint" else self.cross_sim_matrix(enc)
         metrics = compute_retrieval_metrics(sim)
         metrics["mode"] = mode  # type: ignore[assignment]
