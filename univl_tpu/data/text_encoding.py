@@ -35,25 +35,32 @@ def clip_and_wrap(words: List[str], max_words: int) -> List[str]:
 def mask_tokens(
     words: List[str], tokenizer: WordPieceTokenizer, rng: np.random.RandomState
 ) -> Tuple[List[str], List[int]]:
-    """MLM masking over a wrapped token list; first/last positions skipped."""
+    """MLM masking over a wrapped token list; first/last positions skipped.
+
+    Vectorized draw (one rng call for all positions) with the reference's
+    15% x (80 mask / 10 random / 10 keep) split."""
+    n = len(words)
     masked = list(words)
-    labels: List[int] = []
+    labels = [IGNORE] * n
+    if n <= 2:
+        return masked, labels
     unk = tokenizer.unk_id
-    for i, tok in enumerate(masked):
-        if i == 0 or i == len(masked) - 1:
-            labels.append(IGNORE)
-            continue
-        prob = rng.random_sample()
-        if prob < 0.15:
-            prob /= 0.15
-            if prob < 0.8:
-                masked[i] = "[MASK]"
-            elif prob < 0.9:
-                masked[i] = tokenizer.random_token(rng)
-            # else: keep original token
-            labels.append(tokenizer.vocab.get(tok, unk))
-        else:
-            labels.append(IGNORE)
+    probs = rng.random_sample(n - 2)
+    hit = probs < 0.15
+    if not hit.any():
+        return masked, labels
+    branch = probs[hit] / 0.15
+    rand_ids = rng.randint(0, len(tokenizer._vocab_tokens), hit.sum())
+    j = 0
+    for off in np.nonzero(hit)[0]:
+        i = int(off) + 1
+        b = branch[j]
+        if b < 0.8:
+            masked[i] = "[MASK]"
+        elif b < 0.9:
+            masked[i] = tokenizer._vocab_tokens[int(rand_ids[j])]
+        labels[i] = tokenizer.vocab.get(words[i], unk)
+        j += 1
     return masked, labels
 
 
@@ -139,10 +146,11 @@ def mask_frames(
     max_frames = video.shape[0]
     masked = video.copy()
     labels = np.full(max_frames, IGNORE, np.int32)
-    for j in range(length):
-        if rng.random_sample() < 0.15:
-            masked[j] = 0.0
-            labels[j] = j
+    if length > 0:
+        hit = rng.random_sample(length) < 0.15
+        idx = np.nonzero(hit)[0]
+        masked[idx] = 0.0
+        labels[idx] = idx
     return masked, labels
 
 
