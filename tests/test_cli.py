@@ -143,3 +143,26 @@ def test_msrvtt_caption_driver_eval(tmp_path, vocab):
     assert m is not None and "Bleu_4" in m
     # multi-reference scoring: each video has 3 refs
     assert 0.0 <= m["Bleu_4"] <= 1.0
+
+
+def test_eval_with_msgpack_init(tmp_path, vocab, youcook):
+    """--init_model best.msgpack reproduces the training-time eval metrics."""
+    from univl_tpu.cli.task_retrieval import main
+
+    csv_path, data_path, feat_path = youcook
+    out = str(tmp_path / "m1")
+    best = main(
+        ["--do_train", "--do_eval", "--datatype", "youcook",
+         "--vocab_file", vocab,
+         "--train_csv", csv_path, "--val_csv", csv_path,
+         "--data_path", data_path, "--features_path", feat_path,
+         "--output_dir", out] + COMMON
+    )
+    m = main(
+        ["--do_eval", "--datatype", "youcook", "--vocab_file", vocab,
+         "--train_csv", csv_path, "--val_csv", csv_path,
+         "--data_path", data_path, "--features_path", feat_path,
+         "--init_model", os.path.join(out, "best.msgpack"),
+         "--output_dir", str(tmp_path / "m2")] + COMMON
+    )
+    assert m["R1"] == best["R1"]

@@ -134,3 +134,13 @@ def test_train_mode_with_dropout_runs(rng):
         rngs={"dropout": jax.random.key(42)},
     )
     assert np.isfinite(float(out["loss"]))
+
+
+def test_stage_two_retrieval_forward(rng):
+    """Stage-two retrieval finetune: CrossEn over cross-encoder similarity
+    (reference modeling.py:256-267 with task_type=retrieval)."""
+    cfg = UniVLConfig.tiny(stage_two=True, task_type="retrieval")
+    batch = make_batch(cfg, rng)
+    _, _, out = init_and_forward(cfg, batch)
+    assert "sim_loss_text_visual" in out
+    assert np.isfinite(float(out["loss"]))
