@@ -71,3 +71,34 @@ def test_fast_beam_matches_full_beam(setup):
         t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_caption_generation_matches_single(setup, tmp_path):
+    """Mesh-sharded beam decode must produce identical captions."""
+    from univl_tpu.data import fixtures
+    from univl_tpu.data.tokenization import WordPieceTokenizer
+    from univl_tpu.evals.beam import CaptionGenerator
+    from univl_tpu.parallel.mesh import make_mesh
+
+    cfg, model, params, batch, seq, vis, *_ = setup
+    vocab = fixtures.make_vocab(str(tmp_path / "v.txt"))
+    tok = WordPieceTokenizer(vocab)
+    gen_kw = dict(beam_size=3, max_len=8, batch_size=4)
+
+    g1 = CaptionGenerator(model, params, tok, **gen_kw)
+    g2 = CaptionGenerator(model, params, tok, mesh=make_mesh(4), **gen_kw)
+    # compare raw decoded token ids (model vocab > fixture tokenizer vocab,
+    # so string decoding is not meaningful here)
+    t1, s1 = g1._decode(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    import jax as _jax
+
+    sharded = {
+        "seq": _jax.device_put(np.asarray(seq), g2._sharding),
+        "vis": _jax.device_put(np.asarray(vis), g2._sharding),
+        "am": _jax.device_put(np.asarray(batch["attention_mask"]), g2._sharding),
+        "vm": _jax.device_put(np.asarray(batch["video_mask"]), g2._sharding),
+    }
+    t2, s2 = g2._decode(params, sharded["seq"], sharded["vis"],
+                        sharded["am"], sharded["vm"])
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)

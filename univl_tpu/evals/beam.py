@@ -209,11 +209,22 @@ class CaptionGenerator:
 
     def __init__(self, model: UniVL, params, tokenizer, beam_size: int = 5,
                  max_len: int = 48, batch_size: int = 16,
-                 incremental: bool = True):
+                 incremental: bool = True, mesh=None):
+        """``mesh``: optional 1-D dp Mesh — eval batches are sharded over
+        the batch dim so each device decodes its share of the beam batch
+        (the caption-side analogue of the retrieval eval fan-out)."""
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
         self.batch_size = batch_size
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+            assert batch_size % mesh.devices.size == 0, (
+                batch_size, mesh.devices.size
+            )
 
         @jax.jit
         def encode_fn(params, input_ids, token_type_ids, attention_mask, video, video_mask):
@@ -231,6 +242,12 @@ class CaptionGenerator:
         )
 
     def generate(self, batch: Dict[str, np.ndarray]):
+        if self._sharding is not None:
+            import jax as _jax
+
+            batch = {
+                k: _jax.device_put(v, self._sharding) for k, v in batch.items()
+            }
         seq, vis = self._encode(
             self.params,
             batch["input_ids"], batch["token_type_ids"],
