@@ -129,6 +129,8 @@ def finalize_args(args):
     args.batch_size = int(args.batch_size / args.gradient_accumulation_steps)
     if args.sampled_use_mil:
         args.use_mil = True
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
     random.seed(args.seed)
     np.random.seed(args.seed)
     os.environ["PYTHONHASHSEED"] = str(args.seed)
