@@ -184,3 +184,22 @@ def test_save_restore_roundtrip(tmp_path, rng):
     assert meta == {"epoch": 3, "global_step": 77}
     for a, b in zip(jax.tree.leaves(variables["params"]), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_roundtrip(tmp_path, rng):
+    from univl_tpu.checkpoint.io import (
+        restore_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    cfg = UniVLConfig.tiny()
+    model = UniVL(cfg)
+    batch = make_batch(cfg, rng)
+    variables = model.init(jax.random.key(0), batch, deterministic=True)
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(path, variables["params"], metadata={"epoch": 1})
+    zeros = jax.tree.map(jnp.zeros_like, variables["params"])
+    restored, meta = restore_checkpoint_orbax(path, zeros)
+    assert meta == {"epoch": 1}
+    for a, b in zip(jax.tree.leaves(variables["params"]), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

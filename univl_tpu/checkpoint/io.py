@@ -41,3 +41,35 @@ def restore_checkpoint(path: str, template: Any):
         with open(path + ".json") as f:
             meta = json.load(f)
     return state, meta
+
+
+# ------------------------------------------------------------------ #
+# Orbax backend: production checkpointing (per-leaf files, multi-host
+# coordination, atomic finalization). Use for large pretraining runs; the
+# msgpack path above stays the default for single-blob portability.
+# ------------------------------------------------------------------ #
+def save_checkpoint_orbax(directory: str, state: Any, metadata: Optional[Dict] = None) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    if metadata is not None:
+        with open(os.path.join(path, "univl_meta.json"), "w") as f:
+            json.dump(metadata, f)
+    return path
+
+
+def restore_checkpoint_orbax(directory: str, template: Any):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(path, target=jax.device_get(template))
+    meta = None
+    meta_path = os.path.join(path, "univl_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
