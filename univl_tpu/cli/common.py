@@ -131,6 +131,11 @@ def finalize_args(args):
         args.use_mil = True
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)
+        # reproducibility: record the resolved flags
+        import json as _json
+
+        with open(os.path.join(args.output_dir, "args.json"), "w") as f:
+            _json.dump(vars(args), f, indent=1, default=str)
     random.seed(args.seed)
     np.random.seed(args.seed)
     os.environ["PYTHONHASHSEED"] = str(args.seed)

@@ -176,10 +176,23 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
             seqs = jnp.where(d3, seqs, new_seqs)
             scores = jnp.where(done[:, None], scores, top_scores)
             done = done | (next_y[:, 0] == eos_id)
-            return (seqs, scores, done, cache), None
+            return seqs, scores, done, cache
 
-        (seqs, scores, done, _), _ = jax.lax.scan(
-            step, (seqs0, scores0, done0, cache0), jnp.arange(1, max_len)
+        # Early exit when every instance's top beam has emitted EOS — the
+        # reference stops its Python loop the same way
+        # (main_task_caption.py:543-545). Typical captions finish in 10-30
+        # steps; running the full max_len scan wastes 4-10x decode time.
+        def cond(carry):
+            t, seqs, scores, done, cache = carry
+            return (t < max_len) & ~jnp.all(done)
+
+        def body(carry):
+            t, seqs, scores, done, cache = carry
+            seqs, scores, done, cache = step((seqs, scores, done, cache), t)
+            return (t + 1, seqs, scores, done, cache)
+
+        _, seqs, scores, done, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1, jnp.int32), seqs0, scores0, done0, cache0)
         )
         return seqs[:, 0, 1:], scores[:, 0]
 
