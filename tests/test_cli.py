@@ -166,3 +166,32 @@ def test_eval_with_msgpack_init(tmp_path, vocab, youcook):
          "--output_dir", str(tmp_path / "m2")] + COMMON
     )
     assert m["R1"] == best["R1"]
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """Converter tool: synthetic torch .bin -> msgpack, full coverage."""
+    import torch
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_checkpoint import synth_reference_state_dict
+    from univl_tpu.config import UniVLConfig
+
+    cfg = UniVLConfig.tiny(stage_two=True, do_pretrain=True, use_mil=True)
+    sd = synth_reference_state_dict(cfg, np.random.RandomState(0))
+    bin_path = str(tmp_path / "univl.pretrained.bin")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, bin_path)
+
+    from univl_tpu.cli.convert_checkpoint import main
+    out = str(tmp_path / "out.msgpack")
+    main(["--torch_bin", bin_path, "--output", out,
+          "--stage_two", "--do_pretrain",
+          "--text_num_hidden_layers", str(cfg.bert.num_hidden_layers),
+          "--visual_num_hidden_layers", str(cfg.visual.num_hidden_layers),
+          "--cross_num_hidden_layers", str(cfg.cross.num_hidden_layers),
+          "--decoder_num_hidden_layers", str(cfg.decoder.num_decoder_layers),
+          "--hidden_size", str(cfg.bert.hidden_size),
+          "--num_attention_heads", str(cfg.bert.num_attention_heads),
+          "--intermediate_size", str(cfg.bert.intermediate_size),
+          "--vocab_size", str(cfg.bert.vocab_size),
+          "--max_words", "16", "--max_frames", "8", "--video_dim", "32"])
+    assert os.path.exists(out)
