@@ -203,3 +203,33 @@ def test_orbax_roundtrip(tmp_path, rng):
     assert meta == {"epoch": 1}
     for a, b in zip(jax.tree.leaves(variables["params"]), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_partial_restore_stage1_to_stage2(tmp_path, rng):
+    """Stage-II init from a stage-I checkpoint: encoders overlaid,
+    cross/decoder/heads left at init (reference init_preweight tolerance)."""
+    cfg1 = UniVLConfig.tiny()  # stage one: no cross/decoder
+    m1 = UniVL(cfg1)
+    b1 = make_batch(cfg1, rng)
+    v1 = m1.init(jax.random.key(0), b1, deterministic=True)
+    path = str(tmp_path / "stage1.msgpack")
+    save_checkpoint(path, v1["params"], metadata={"epoch": 0})
+
+    cfg2 = cfg1.replace(stage_two=True, do_pretrain=True, use_mil=True,
+                        task_type="caption")
+    m2 = UniVL(cfg2)
+    b2 = make_batch(cfg2, rng, with_caption=True, with_pretrain=True)
+    v2 = m2.init(jax.random.key(1), b2, deterministic=True)
+
+    merged, meta, missing = restore_checkpoint(path, v2["params"], partial=True)
+    assert meta == {"epoch": 0}
+    # encoders came from stage one
+    np.testing.assert_array_equal(
+        np.asarray(merged["word_embed"]["embedding"]),
+        np.asarray(v1["params"]["word_embed"]["embedding"]),
+    )
+    # new modules were left at stage-two init
+    assert any(m == "cross" or m.startswith("cross/") for m in missing)
+    assert any(m == "decoder" or m.startswith("decoder/") for m in missing)
+    out = m2.apply({"params": merged}, b2, deterministic=True)
+    assert np.isfinite(float(out["loss"]))

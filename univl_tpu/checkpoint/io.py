@@ -31,15 +31,28 @@ def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None) -> s
     return path
 
 
-def restore_checkpoint(path: str, template: Any):
-    """Restore into the structure of `template` (same pytree layout)."""
+def restore_checkpoint(path: str, template: Any, partial: bool = False):
+    """Restore into the structure of `template` (same pytree layout).
+
+    ``partial=True`` overlays only the leaves present in the checkpoint and
+    leaves the rest of the template untouched — e.g. initializing a
+    stage-II model (cross+decoder+heads) from a stage-I checkpoint
+    (encoders only), mirroring the reference's tolerant init_preweight
+    missing-key handling (until_module.py:115-141). Returns
+    (state, metadata) or (state, metadata, missing_paths) when partial."""
     with open(path, "rb") as f:
         data = f.read()
-    state = serialization.from_bytes(template, data)
     meta = None
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
             meta = json.load(f)
+    if partial:
+        from univl_tpu.checkpoint.torch_convert import merge_params
+
+        raw = serialization.msgpack_restore(data)
+        merged, missing = merge_params(template, raw)
+        return merged, meta, missing
+    state = serialization.from_bytes(template, data)
     return state, meta
 
 

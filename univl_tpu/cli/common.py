@@ -247,9 +247,15 @@ def load_init_params(args, model, example_batch, logger):
     )
     params = variables["params"]
     if args.init_model:
-        if args.init_model.endswith(".msgpack"):
-            params, _ = restore_checkpoint(args.init_model, params)
-            logger.info("restored flax params from %s", args.init_model)
+        if ".msgpack" in os.path.basename(args.init_model):
+            params, _, missing = restore_checkpoint(
+                args.init_model, params, partial=True
+            )
+            logger.info(
+                "restored flax params from %s (%d params left at init%s)",
+                args.init_model, len(missing),
+                f": {missing[:8]}" if missing else "",
+            )
         else:
             sd = load_torch_bin(args.init_model)
             tree, report = convert_torch_state_dict(sd)
