@@ -50,7 +50,7 @@ def main(argv=None):
     from univl_tpu.data.tokenization import WordPieceTokenizer
     from univl_tpu.models.univl import UniVL
 
-    tokenizer = WordPieceTokenizer(args.vocab_file)
+    tokenizer = WordPieceTokenizer(args.vocab_file, do_lower_case=args.do_lower_case)
     cfg = common.build_config(args, task_type="retrieval", vocab_size=len(tokenizer))
     model = UniVL(cfg)
 

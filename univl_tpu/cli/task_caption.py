@@ -64,7 +64,7 @@ def main(argv=None):
     from univl_tpu.evals.caption_metrics import compute_caption_metrics
     from univl_tpu.models.univl import UniVL
 
-    tokenizer = WordPieceTokenizer(args.vocab_file)
+    tokenizer = WordPieceTokenizer(args.vocab_file, do_lower_case=args.do_lower_case)
     cfg = common.build_config(args, stage_two=True, task_type="caption", vocab_size=len(tokenizer))
     model = UniVL(cfg)
     train_ds, test_ds = build_datasets(args, tokenizer)
