@@ -283,3 +283,58 @@ def test_batcher_process_sharding(youcook, tokenizer):
     for f, a, b in zip(fb, p0, p1):
         merged = np.concatenate([a["input_ids"], b["input_ids"]], axis=1)
         np.testing.assert_array_equal(f["input_ids"], merged)
+
+
+def test_howto_transcript_expansion(howto, tokenizer):
+    """Neighbor-merge grows short clips to min_time (reference :230-256)."""
+    csv_path, data_path, feat_dir = howto
+    with open(data_path, "rb") as f:
+        data = pickle.load(f)
+    ds = HowTo100MPretrainDataset(
+        csv_path, data, feat_dir, tokenizer,
+        max_words=32, max_frames=12, n_pair=1, min_time=1e9,  # force max merge
+        video_dim=16,
+    )
+    d = data[ds.video_ids[0]]
+    words, s, e = ds._single_transcript(d, 0)
+    # merged to the full video span
+    assert s == float(d["start"][0])
+    assert e == float(d["end"][len(d["end"]) - 1])
+    # no expansion when min_time tiny
+    ds2 = HowTo100MPretrainDataset(
+        csv_path, data, feat_dir, tokenizer,
+        max_words=32, max_frames=12, n_pair=1, min_time=0.0, min_words=0,
+        video_dim=16,
+    )
+    w2, s2, e2 = ds2._single_transcript(d, 1)
+    assert s2 == float(d["start"][1]) and e2 == float(d["end"][1])
+
+
+def test_howto_empty_slice_window_growth(tokenizer, tmp_path):
+    """A clip mapping to an empty feature range must grow its window
+    outward until non-empty (reference :258-285)."""
+    import numpy as np
+    from univl_tpu.data.howto100m import HowTo100MPretrainDataset
+
+    # video with 10 feature rows; clip 1 spans [20, 21) -> empty slice
+    feat_dir = tmp_path / "f"
+    feat_dir.mkdir()
+    np.save(feat_dir / "v0.npy", np.ones((10, 4), np.float32))
+    csv_path = tmp_path / "c.csv"
+    csv_path.write_text("video_id,feature_file\nv0,v0.npy\n")
+    data = {"v0": {
+        "start": np.array([0.0, 20.0], dtype=object),
+        "end": np.array([5.0, 21.0], dtype=object),
+        "text": np.array(["add the onions", "stir well"], dtype=object),
+    }}
+    # Growth happens WITHIN a multi-clip sample (reference semantics:
+    # _expand_video_slice can only use the sample's own start/end arrays;
+    # single-clip samples break immediately, reference :268-269).
+    ds = HowTo100MPretrainDataset(
+        str(csv_path), data, str(feat_dir), tokenizer,
+        max_words=16, max_frames=8, n_pair=2, min_time=0.0,
+        with_long_context=False, video_dim=4, use_mil=True,
+    )
+    s = ds[0]  # group [0, 1]: clip 1 maps to empty range, grows into clip 0
+    assert s["video_mask"][1].sum() > 0, "window growth failed"
+    assert s["video_mask"][0].sum() > 0

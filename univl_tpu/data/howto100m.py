@@ -106,7 +106,7 @@ class HowTo100MPretrainDataset:
         )
 
     # ------------------------------------------------------------ #
-    def _single_transcript(self, d, ind, rng) -> Tuple[List[str], float, float]:
+    def _single_transcript(self, d, ind) -> Tuple[List[str], float, float]:
         """Greedy neighbor merge until min_words/min_time (reference :230-256)."""
         start = end = ind
         words = self.tokenizer.tokenize(str(d["text"][ind]))
@@ -224,7 +224,7 @@ class HowTo100MPretrainDataset:
         ends = np.zeros(k)
         caption_words_all = []
         for i, ind in enumerate(r_ind):
-            words, s_, e_ = self._single_transcript(d, int(ind), rng)
+            words, s_, e_ = self._single_transcript(d, int(ind))
             caption_words_all.append(words)
             starts[i], ends[i] = s_, e_
             enc_words = [] if enhance_vmodal else words
