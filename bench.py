@@ -26,6 +26,11 @@ BASELINE_CLIPS_PER_SEC = 420.0  # estimated 4xGPU DDP (see docstring)
 def main():
     import jax
 
+    if jax.default_backend() == "tpu":
+        # production default (cli/common.py): hardware-accelerated PRNG for
+        # dropout; 27% faster train step than threefry (docs/PERF.md)
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     from univl_tpu.config import UniVLConfig
     from univl_tpu.models.univl import UniVL
     from univl_tpu.parallel.mesh import make_mesh

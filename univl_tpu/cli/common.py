@@ -149,6 +149,12 @@ def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
     from univl_tpu.config import UniVLConfig
 
     on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and not os.environ.get("UNIVL_TPU_THREEFRY"):
+        # rbg PRNG: hardware-accelerated on TPU; dropout mask generation drops
+        # from ~1.4ms to ~0.35ms per forward at the bench config (docs/PERF.md).
+        # Different (but still deterministic-per-seed) streams than threefry;
+        # set UNIVL_TPU_THREEFRY=1 to keep JAX's default.
+        jax.config.update("jax_default_prng_impl", "rbg")
     dtype = args.compute_dtype or (
         "bfloat16" if (on_tpu or args.fp16) else "float32"
     )
