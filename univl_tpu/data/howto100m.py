@@ -106,33 +106,44 @@ class HowTo100MPretrainDataset:
         )
 
     # ------------------------------------------------------------ #
+    def _clip_tokens(self, d, ind) -> List[str]:
+        """Tokenize one clip's text, cached: neighbor-merge re-tokenizes the
+        same clips across samples/epochs (no reference equivalent — the
+        reference re-tokenizes every time, dataloader_howto100m.py:236-251)."""
+        cache = d.setdefault("_token_cache", {})
+        toks = cache.get(ind)
+        if toks is None:
+            toks = self.tokenizer.tokenize(str(d["text"][ind]))
+            cache[ind] = toks
+        return toks
+
     def _single_transcript(self, d, ind) -> Tuple[List[str], float, float]:
         """Greedy neighbor merge until min_words/min_time (reference :230-256)."""
         start = end = ind
-        words = self.tokenizer.tokenize(str(d["text"][ind]))
+        words = list(self._clip_tokens(d, ind))
         diff = d["end"][end] - d["start"][start]
         while self.with_long_context and (
             len(words) < self.min_words or diff < self.min_time
         ):
             if start > 0 and end < len(d["end"]) - 1:
-                next_words = self.tokenizer.tokenize(str(d["text"][end + 1]))
-                prev_words = self.tokenizer.tokenize(str(d["text"][start - 1]))
+                next_words = self._clip_tokens(d, end + 1)
+                prev_words = self._clip_tokens(d, start - 1)
                 d1 = d["end"][end + 1] - d["start"][start]
                 d2 = d["end"][end] - d["start"][start - 1]
                 if (self.min_time > 0 and d2 <= d1) or (
                     self.min_time == 0 and len(next_words) <= len(prev_words)
                 ):
                     start -= 1
-                    words = prev_words + words
+                    words = list(prev_words) + words
                 else:
                     end += 1
-                    words = words + next_words
+                    words = words + list(next_words)
             elif start > 0:
                 start -= 1
-                words = self.tokenizer.tokenize(str(d["text"][start])) + words
+                words = list(self._clip_tokens(d, start)) + words
             elif end < len(d["end"]) - 1:
                 end += 1
-                words = words + self.tokenizer.tokenize(str(d["text"][end]))
+                words = words + list(self._clip_tokens(d, end))
             else:
                 break
             diff = d["end"][end] - d["start"][start]
