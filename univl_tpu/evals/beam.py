@@ -156,14 +156,16 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
             # Reorder the KV cache to follow the surviving beams. Done
             # instances keep their rows (identity permutation) — folding the
             # done-freeze into the permutation avoids a second full-cache
-            # where(). One-hot matmul instead of gather: MXU-friendly.
+            # where(). One-hot matmul beats gathers HERE: a leading-dim row
+            # gather microbenchmarks 2x faster in isolation but is 25% slower
+            # in this loop (it defeats XLA's in-place aliasing of the cache
+            # carry); measured 398 ms vs 494 ms per batch-16 decode.
             prev_k_eff = jnp.where(
                 done[:, None], jnp.arange(K)[None, :], prev_k
             )
             perm = jax.nn.one_hot(prev_k_eff, K, dtype=cache_dtype)  # [B,Kn,Ko]
 
             def reorder(c):
-                bk = c.shape[0]
                 cb = c.reshape(B, K, -1)
                 cb = jnp.einsum(
                     "bnk,bkf->bnf", perm, cb.astype(cache_dtype)
