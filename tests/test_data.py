@@ -338,3 +338,17 @@ def test_howto_empty_slice_window_growth(tokenizer, tmp_path):
     s = ds[0]  # group [0, 1]: clip 1 maps to empty range, grows into clip 0
     assert s["video_mask"][1].sum() > 0, "window growth failed"
     assert s["video_mask"][0].sum() > 0
+
+
+def test_prefetch_propagates_errors(youcook, tokenizer):
+    """Background-thread exceptions must surface to the consumer."""
+    from univl_tpu.data.batching import prefetch_to_device
+
+    def boom():
+        yield {"a": np.zeros(1)}
+        raise RuntimeError("reader died")
+
+    it = prefetch_to_device(boom(), put=lambda x: x)
+    next(it)
+    with pytest.raises(RuntimeError, match="reader died"):
+        list(it)

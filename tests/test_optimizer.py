@@ -102,3 +102,13 @@ def test_global_clip_composes(rng):
     big = jax.tree.map(lambda p: jnp.full_like(p, 100.0), p0)
     updates, _ = tx.update(big, state, p0)
     assert np.isfinite(np.asarray(jax.tree.leaves(updates)[0])).all()
+
+
+def test_warmup_constant_and_cosine():
+    from univl_tpu.train.optimization import warmup_constant, warmup_cosine
+
+    assert float(warmup_constant(0.05, 0.1)) == pytest.approx(0.5)
+    assert float(warmup_constant(0.5, 0.1)) == 1.0
+    assert float(warmup_cosine(0.05, 0.1)) == pytest.approx(0.5)
+    assert float(warmup_cosine(0.5, 0.1)) == pytest.approx(0.5, abs=1e-6)
+    assert float(warmup_cosine(1.0, 0.1)) == pytest.approx(0.0, abs=1e-6)
