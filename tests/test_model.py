@@ -144,3 +144,33 @@ def test_stage_two_retrieval_forward(rng):
     _, _, out = init_and_forward(cfg, batch)
     assert "sim_loss_text_visual" in out
     assert np.isfinite(float(out["loss"]))
+
+
+def test_random_config_fuzz(rng):
+    """Forward passes across randomized tiny architectures (shape fuzz)."""
+    from univl_tpu.config import (
+        BertConfig, CrossConfig, DecoderConfig, UniVLConfig, VisualConfig,
+    )
+
+    for trial in range(6):
+        heads = int(rng.choice([1, 2, 4]))
+        hidden = heads * int(rng.choice([8, 16]))
+        enc = dict(hidden_size=hidden, num_hidden_layers=int(rng.randint(1, 3)),
+                   num_attention_heads=heads,
+                   intermediate_size=int(rng.choice([32, 64])))
+        lw = int(rng.randint(4, 20))
+        lf = int(rng.randint(2, 16))
+        vd = int(rng.choice([8, 24]))
+        cfg = UniVLConfig(
+            bert=BertConfig(vocab_size=64, **enc),
+            visual=VisualConfig(vocab_size=vd, **enc),
+            cross=CrossConfig(vocab_size=hidden, max_position_embeddings=1024, **enc),
+            decoder=DecoderConfig(vocab_size=64, num_decoder_layers=1, **enc),
+            max_words=lw, max_frames=lf, video_dim=vd,
+            stage_two=bool(rng.randint(0, 2)), task_type="caption",
+            batch_size_per_device=int(rng.randint(1, 4)),
+            use_pallas=False,
+        ).validate()
+        batch = make_batch(cfg, rng, with_caption=cfg.stage_two)
+        _, _, out = init_and_forward(cfg, batch)
+        assert np.isfinite(float(out["loss"])), (trial, cfg)
