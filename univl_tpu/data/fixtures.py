@@ -28,7 +28,11 @@ def make_vocab(path: str) -> str:
     tokens += sorted(set(_WORDS))
     tokens += [c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
     tokens += ["##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
-    tokens += ["##ing", "##ed", "##s", ",", ".", "!", "?"]
+    tokens += ["##ing", "##ed", ",", ".", "!", "?"]
+    # duplicates would leave an id without a reverse mapping (dict overwrite,
+    # same behavior as the reference's load_vocab) — keep first occurrence
+    seen = set()
+    tokens = [t for t in tokens if not (t in seen or seen.add(t))]
     with open(path, "w") as f:
         f.write("\n".join(tokens) + "\n")
     return path
