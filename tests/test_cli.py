@@ -195,3 +195,20 @@ def test_convert_checkpoint_cli(tmp_path):
           "--vocab_size", str(cfg.bert.vocab_size),
           "--max_words", "16", "--max_frames", "8", "--video_dim", "32"])
     assert os.path.exists(out)
+
+
+def test_ft_align_driver(tmp_path, vocab, youcook):
+    """--train_sim_after_cross: cross-encoder loss in training, 'cross'
+    rescoring mode in eval (reference FT-Align, README.md:93-95)."""
+    from univl_tpu.cli.task_retrieval import main
+
+    csv_path, data_path, feat_path = youcook
+    best = main(
+        ["--do_train", "--do_eval", "--train_sim_after_cross",
+         "--datatype", "youcook", "--vocab_file", vocab,
+         "--train_csv", csv_path, "--val_csv", csv_path,
+         "--data_path", data_path, "--features_path", feat_path,
+         "--output_dir", str(tmp_path / "fta")] + COMMON
+    )
+    assert best is not None and best["mode"] == "cross"
+    assert 0.0 <= best["R1"] <= 1.0
