@@ -352,3 +352,14 @@ def test_prefetch_propagates_errors(youcook, tokenizer):
     next(it)
     with pytest.raises(RuntimeError, match="reader died"):
         list(it)
+
+
+def test_tokenizer_rejects_bad_vocab(tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("hello\nworld\n")
+    with pytest.raises(ValueError, match="special tokens"):
+        WordPieceTokenizer(str(p))
+    p2 = tmp_path / "dup.txt"
+    p2.write_text("[PAD]\n[UNK]\n[CLS]\n[SEP]\n[MASK]\nfoo\nfoo\n")
+    with pytest.raises(ValueError, match="duplicate"):
+        WordPieceTokenizer(str(p2))

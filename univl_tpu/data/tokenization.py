@@ -172,7 +172,18 @@ class WordPieceTokenizer:
         if not os.path.isfile(vocab_file):
             raise ValueError(f"vocab file not found: {vocab_file}")
         self.vocab = load_vocab(vocab_file)
+        missing = [t for t in SPECIAL_TOKENS if t not in self.vocab]
+        if missing:
+            raise ValueError(
+                f"vocab {vocab_file} is missing special tokens {missing}; "
+                f"expected a BERT WordPiece vocab with {SPECIAL_TOKENS}"
+            )
         self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
+        if len(self.ids_to_tokens) != len(self.vocab):
+            raise ValueError(
+                f"vocab {vocab_file} contains duplicate tokens; "
+                "ids would lose their reverse mapping"
+            )
         self.basic = BasicTokenizer(do_lower_case=do_lower_case)
         self.wordpiece = GreedyWordpiece(self.vocab)
         self._vocab_tokens = list(self.vocab.keys())
