@@ -179,10 +179,10 @@ class WordPieceTokenizer:
                 f"expected a BERT WordPiece vocab with {SPECIAL_TOKENS}"
             )
         self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
-        if len(self.ids_to_tokens) != len(self.vocab):
+        if set(self.ids_to_tokens) != set(range(len(self.vocab))):
             raise ValueError(
                 f"vocab {vocab_file} contains duplicate tokens; "
-                "ids would lose their reverse mapping"
+                "some ids would have no reverse mapping"
             )
         self.basic = BasicTokenizer(do_lower_case=do_lower_case)
         self.wordpiece = GreedyWordpiece(self.vocab)
