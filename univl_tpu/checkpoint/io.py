@@ -46,13 +46,20 @@ def restore_checkpoint(path: str, template: Any, partial: bool = False):
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
             meta = json.load(f)
+    from univl_tpu.checkpoint.layout import adapt_layout
+
     if partial:
         from univl_tpu.checkpoint.torch_convert import merge_params
 
         raw = serialization.msgpack_restore(data)
+        raw = adapt_layout(raw, serialization.to_state_dict(template))
         merged, missing = merge_params(template, raw)
         return merged, meta, missing
-    state = serialization.from_bytes(template, data)
+    raw = serialization.msgpack_restore(data)
+    # Checkpoints written with the opposite scan_layers setting are adapted
+    # transparently (tower layer_i <-> stacked `layers`, incl. Adam mu/nu).
+    raw = adapt_layout(raw, serialization.to_state_dict(template))
+    state = serialization.from_state_dict(template, raw)
     return state, meta
 
 

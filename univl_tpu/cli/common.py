@@ -111,6 +111,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="opt into the fused Pallas attention kernel "
                         "(measured slower than XLA at UniVL shapes, docs/PERF.md)")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--scan_layers", action="store_true",
+                   help="roll tower layers into one nn.scan: much faster "
+                        "trace+compile, identical math; checkpoints convert "
+                        "between layouts automatically")
     p.add_argument("--hidden_size", type=int, default=768)
     p.add_argument("--num_attention_heads", type=int, default=12)
     p.add_argument("--intermediate_size", type=int, default=3072)
@@ -203,6 +207,7 @@ def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
         compute_dtype=dtype,
         use_pallas=(on_tpu and args.use_pallas),
         remat=args.remat,
+        scan_layers=args.scan_layers,
     )
     # JSON configs replace the defaults, then CLI layer counts re-apply
     # (the reference's update_attr override order).
@@ -263,8 +268,13 @@ def load_init_params(args, model, example_batch, logger):
                 f": {missing[:8]}" if missing else "",
             )
         else:
+            from univl_tpu.checkpoint.layout import adapt_layout
+
             sd = load_torch_bin(args.init_model)
             tree, report = convert_torch_state_dict(sd)
+            # converter emits the reference's layer_i layout; re-stack the
+            # towers when the model runs with --scan_layers
+            tree = adapt_layout(tree, params)
             params, missing = merge_params(params, tree)
             logger.info(
                 "converted %d torch params (%d skipped/tied, %d unknown); "

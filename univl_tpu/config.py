@@ -140,6 +140,13 @@ class UniVLConfig:
     # see docs/PERF.md), so XLA is the default compute path.
     use_pallas: bool = False
     remat: bool = False  # jax.checkpoint on encoder layers
+    # Roll the tower layers into one nn.scan (stacked params, one traced
+    # layer): cuts trace+compile time for deep towers at identical math.
+    # Parameter layout changes from encoder/layer_i/... to encoder/layers/...
+    # with a leading [num_layers] axis; checkpoint.layout converts both ways,
+    # and checkpoint loading adapts automatically. The decoder stays unrolled
+    # (3 layers; the KV-cache fast decoder reads its raw param paths).
+    scan_layers: bool = False
 
     @property
     def stage_one(self) -> bool:

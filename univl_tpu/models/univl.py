@@ -139,7 +139,12 @@ class UniVL(nn.Module):
             name="feature_proj",
         )
 
-        kw = dict(dtype=dtype, use_pallas=c.use_pallas, remat=c.remat)
+        kw = dict(
+            dtype=dtype,
+            use_pallas=c.use_pallas,
+            remat=c.remat,
+            scan_layers=c.scan_layers,
+        )
         self.text = TextEncoder(
             c.bert, self.word_embed, self.text_pos_embed, name="text", **kw
         )

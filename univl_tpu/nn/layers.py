@@ -213,6 +213,9 @@ class TransformerLayer(nn.Module):
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # When used as an nn.scan body, __call__ must return (carry, per-step
+    # output); the layer then returns (x, None) instead of x.
+    scan_form: bool = False
 
     @nn.compact
     def __call__(
@@ -239,19 +242,28 @@ class TransformerLayer(nn.Module):
             self.intermediate_size, self.initializer_range, "intermediate", self.dtype
         )(attn_out)
         inter = ACT2FN[self.hidden_act](inter)
-        return ResidualOutput(
+        out = ResidualOutput(
             self.hidden_size,
             self.dropout_rate,
             self.initializer_range,
             self.dtype,
             name="output",
         )(inter, attn_out, deterministic=deterministic)
+        if self.scan_form:
+            return out, None
+        return out
 
 
 class TransformerStack(nn.Module):
     """N identical post-LN blocks (reference: modules/module_bert.py:267-281).
 
     Optionally rematerialized (jax.checkpoint) to trade FLOPs for HBM.
+
+    ``scan_layers=True`` rolls the N layers into one ``nn.scan`` over stacked
+    parameters (param subtree ``layers`` with a leading [N] axis on every
+    leaf, instead of ``layer_0..layer_{N-1}``). Same math, one traced layer:
+    trace+compile time stops scaling with depth. Convert between the two
+    parameter layouts with ``univl_tpu.checkpoint.layout``.
     """
 
     num_layers: int
@@ -265,6 +277,7 @@ class TransformerStack(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -273,19 +286,31 @@ class TransformerStack(nn.Module):
         layer_cls = TransformerLayer
         if self.remat:
             layer_cls = nn.remat(TransformerLayer, static_argnums=(3,))
+        kw = dict(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            intermediate_size=self.intermediate_size,
+            hidden_act=self.hidden_act,
+            dropout_rate=self.dropout_rate,
+            attn_dropout_rate=self.attn_dropout_rate,
+            initializer_range=self.initializer_range,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+        )
+        if self.scan_layers:
+            scanned = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_layers,
+            )
+            x, _ = scanned(scan_form=True, name="layers", **kw)(
+                x, bias, deterministic
+            )
+            return x
         for i in range(self.num_layers):
-            x = layer_cls(
-                hidden_size=self.hidden_size,
-                num_heads=self.num_heads,
-                intermediate_size=self.intermediate_size,
-                hidden_act=self.hidden_act,
-                dropout_rate=self.dropout_rate,
-                attn_dropout_rate=self.attn_dropout_rate,
-                initializer_range=self.initializer_range,
-                dtype=self.dtype,
-                use_pallas=self.use_pallas,
-                name=f"layer_{i}",
-            )(x, bias, deterministic)
+            x = layer_cls(name=f"layer_{i}", **kw)(x, bias, deterministic)
         return x
 
 

@@ -28,7 +28,7 @@ from univl_tpu.nn.layers import (
 )
 
 
-def _stack(cfg, dtype, use_pallas, remat, num_layers=None):
+def _stack(cfg, dtype, use_pallas, remat, scan_layers=False, num_layers=None):
     return TransformerStack(
         num_layers=num_layers if num_layers is not None else cfg.num_hidden_layers,
         hidden_size=cfg.hidden_size,
@@ -41,6 +41,7 @@ def _stack(cfg, dtype, use_pallas, remat, num_layers=None):
         dtype=dtype,
         use_pallas=use_pallas,
         remat=remat,
+        scan_layers=scan_layers,
         name="encoder",
     )
 
@@ -58,6 +59,7 @@ class TextEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -86,7 +88,7 @@ class TextEncoder(nn.Module):
         x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         x = x.astype(self.dtype)
         bias = additive_mask_bias(attention_mask)
-        return _stack(cfg, self.dtype, self.use_pallas, self.remat)(
+        return _stack(cfg, self.dtype, self.use_pallas, self.remat, self.scan_layers)(
             x, bias, deterministic
         )
 
@@ -140,6 +142,7 @@ class VisualEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -164,7 +167,7 @@ class VisualEncoder(nn.Module):
         x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         x = x.astype(self.dtype)
         bias = additive_mask_bias(video_mask)
-        return _stack(cfg, self.dtype, self.use_pallas, self.remat)(
+        return _stack(cfg, self.dtype, self.use_pallas, self.remat, self.scan_layers)(
             x, bias, deterministic
         )
 
@@ -181,6 +184,7 @@ class CrossEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -212,7 +216,7 @@ class CrossEncoder(nn.Module):
         x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         x = x.astype(self.dtype)
         bias = additive_mask_bias(concat_mask)
-        h = _stack(cfg, self.dtype, self.use_pallas, self.remat)(
+        h = _stack(cfg, self.dtype, self.use_pallas, self.remat, self.scan_layers)(
             x, bias, deterministic
         )
         pooled = Pooler(
