@@ -1,0 +1,79 @@
+"""RotatingCheckpointManager: keep-last-N rotation, best-metric, resume."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from univl_tpu.checkpoint.manager import RotatingCheckpointManager
+from univl_tpu.data import fixtures
+
+
+@pytest.fixture(scope="module")
+def vocab(tmp_path_factory):
+    return fixtures.make_vocab(str(tmp_path_factory.mktemp("v") / "vocab.txt"))
+
+
+def _state(v: float):
+    return {"w": jnp.full((4, 4), v), "step": jnp.asarray(int(v))}
+
+
+def test_rotation_keeps_last_n(tmp_path):
+    mgr = RotatingCheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    for s in range(5):
+        mgr.save(s, _state(float(s)), metrics={"loss": 5.0 - s})
+    assert mgr.all_steps() == [3, 4]
+    assert mgr.latest_step() == 4
+    restored, meta = mgr.restore(4, _state(0.0))
+    assert float(np.asarray(restored["w"])[0, 0]) == 4.0
+    assert meta["loss"] == 1.0
+    mgr.close()
+
+
+def test_best_metric_survives_rotation(tmp_path):
+    mgr = RotatingCheckpointManager(
+        str(tmp_path / "ck"), max_to_keep=2, best_metric="r1", best_mode="max"
+    )
+    # best (r1=0.9) lands early, then worse ones roll in
+    for s, r1 in enumerate([0.1, 0.9, 0.3, 0.2, 0.25]):
+        mgr.save(s, _state(float(s)), metrics={"r1": r1})
+    steps = mgr.all_steps()
+    assert 1 in steps, steps  # the best step is retained past rotation
+    assert mgr.best_step() == 1
+    mgr.close()
+
+
+def test_restore_latest_empty(tmp_path):
+    mgr = RotatingCheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    state, meta, step = mgr.restore_latest(_state(0.0))
+    assert state is None and step is None
+    mgr.close()
+
+
+def test_pretrain_driver_orbax_resume(tmp_path, vocab):
+    from univl_tpu.cli.pretrain import main
+    from test_cli import COMMON
+
+    ht = str(tmp_path / "ht")
+    csv_path, data_path, feat_dir = fixtures.make_howto100m(
+        ht, n_videos=8, clips_per_video=4, video_dim=32, corrupt_last=False,
+    )
+    out = str(tmp_path / "pre")
+    argv = (
+        ["--do_pretrain", "--sampled_use_mil", "--n_pair", "2",
+         "--vocab_file", vocab, "--train_csv", csv_path,
+         "--data_path", data_path, "--features_path", feat_dir,
+         "--output_dir", out, "--min_time", "5.0",
+         "--checkpoint_backend", "orbax", "--keep_checkpoints", "2"] + COMMON
+    )
+    state = main(argv)
+    step_after_1 = int(state.step)
+    ckdir = os.path.join(out, "checkpoints")
+    assert os.path.isdir(os.path.join(ckdir, str(step_after_1)))
+
+    argv2 = [a for a in argv]
+    argv2[argv2.index("--epochs") + 1] = "2"
+    state2 = main(argv2 + ["--load_checkpoint"])
+    assert int(state2.step) > step_after_1

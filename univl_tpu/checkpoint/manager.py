@@ -1,0 +1,96 @@
+"""Rotating checkpoint manager for long pretraining runs (orbax-backed).
+
+The reference keeps every per-epoch dump plus one rolling train-state file
+(reference: main_pretrain.py:258-276, main_task_retrieval.py:292-299). For
+multi-week pretrains that policy fills disks; this wraps
+``orbax.checkpoint.CheckpointManager`` with:
+
+  - keep-last-N rotation (``max_to_keep``)
+  - optionally always keep the best checkpoint by a metric
+    (``best_metric``/``best_mode``), mirroring the drivers' best-R@1 /
+    best-BLEU4 selection (main_task_retrieval.py:491-509)
+  - atomic finalization + resume from the latest step
+
+Use ``--checkpoint_backend orbax`` in the pretrain driver.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+
+
+class RotatingCheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 3,
+        best_metric: Optional[str] = None,
+        best_mode: str = "max",
+    ):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=(lambda m: float(m[best_metric])) if best_metric else None,
+            best_mode=best_mode,
+            create=True,
+            enable_async_checkpointing=False,  # deterministic tests/runs
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    # ------------------------------------------------------------ #
+    def save(self, step: int, state: Any, metrics: Optional[Dict] = None) -> bool:
+        """Save `state` at `step`; old steps beyond the policy are deleted.
+
+        `metrics` ride inside the checkpoint (a JSON item) so rotation can
+        never orphan them, and feed the best-checkpoint policy.
+        """
+        ocp = self._ocp
+        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        saved = self._mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(jax.device_get(state)),
+                meta=ocp.args.JsonSave(metrics),
+            ),
+            metrics=metrics,
+        )
+        self._mgr.wait_until_finished()
+        return saved
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def all_steps(self):
+        return sorted(self._mgr.all_steps())
+
+    def restore(self, step: int, template: Any):
+        """Restore the pytree saved at `step` into `template`'s structure."""
+        ocp = self._ocp
+        out = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(jax.device_get(template)),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        return out["state"], out["meta"]
+
+    def restore_latest(self, template: Any):
+        step = self.latest_step()
+        if step is None:
+            return None, None, None
+        state, meta = self.restore(step, template)
+        return state, meta, step
+
+    def close(self):
+        self._mgr.close()

@@ -31,6 +31,12 @@ def add_pretrain_args(p):
     p.add_argument("--pretrain_enhance_vmodal", action="store_true")
     p.add_argument("--load_checkpoint", action="store_true")
     p.add_argument("--checkpoint_model", type=str, default="pytorch_model.bin.checkpoint")
+    p.add_argument("--checkpoint_backend", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="orbax = rotating per-step directories with "
+                        "keep-last-N policy (for long pretrains)")
+    p.add_argument("--keep_checkpoints", type=int, default=3,
+                   help="orbax backend: how many checkpoints to keep")
     return p
 
 
@@ -84,11 +90,27 @@ def main(argv=None):
 
     start_epoch, global_step = 0, 0
     ckpt_path = os.path.join(args.output_dir, "train_state.msgpack")
-    if args.load_checkpoint and os.path.exists(ckpt_path):
-        state, meta = restore_checkpoint(ckpt_path, state)
-        start_epoch = int(meta["epoch"]) + 1
-        global_step = int(meta["global_step"])
-        logger.info("resumed from epoch %d, global_step %d", start_epoch, global_step)
+    manager = None
+    if args.checkpoint_backend == "orbax":
+        from univl_tpu.checkpoint.manager import RotatingCheckpointManager
+
+        manager = RotatingCheckpointManager(
+            os.path.join(args.output_dir, "checkpoints"),
+            max_to_keep=args.keep_checkpoints,
+        )
+    if args.load_checkpoint:
+        if manager is not None:
+            restored, meta, step = manager.restore_latest(state)
+            if restored is not None:
+                state, start_epoch = restored, int(meta["epoch"]) + 1
+                global_step = int(meta["global_step"])
+                logger.info("resumed from orbax step %d (epoch %d, global_step %d)",
+                            step, start_epoch, global_step)
+        elif os.path.exists(ckpt_path):
+            state, meta = restore_checkpoint(ckpt_path, state)
+            start_epoch = int(meta["epoch"]) + 1
+            global_step = int(meta["global_step"])
+            logger.info("resumed from epoch %d, global_step %d", start_epoch, global_step)
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
@@ -119,12 +141,19 @@ def main(argv=None):
         logger.info("Epoch %d done: mean loss %.6f", epoch + 1,
                     total_loss / max(n_steps, 1))
         # full train-state checkpoint incl optimizer (main_pretrain.py:258-276)
-        save_checkpoint(ckpt_path, state,
-                        metadata={"epoch": epoch, "global_step": global_step})
-        save_checkpoint(
-            os.path.join(args.output_dir, f"params.msgpack.{epoch}"), state.params,
-            metadata={"epoch": epoch, "global_step": global_step},
-        )
+        if manager is not None:
+            manager.save(global_step, state,
+                         metrics={"epoch": epoch, "global_step": global_step,
+                                  "mean_loss": total_loss / max(n_steps, 1)})
+        else:
+            save_checkpoint(ckpt_path, state,
+                            metadata={"epoch": epoch, "global_step": global_step})
+            save_checkpoint(
+                os.path.join(args.output_dir, f"params.msgpack.{epoch}"), state.params,
+                metadata={"epoch": epoch, "global_step": global_step},
+            )
+    if manager is not None:
+        manager.close()
     return state
 
 
