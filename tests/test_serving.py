@@ -1,0 +1,164 @@
+"""Serving layer: VideoRetrievalIndex (dense + cross rerank) and CaptionService."""
+
+import numpy as np
+import jax
+import pytest
+
+from univl_tpu.config import UniVLConfig
+from univl_tpu.data import fixtures
+from univl_tpu.data.tokenization import WordPieceTokenizer
+from univl_tpu.models.univl import UniVL
+from univl_tpu.serving import CaptionService, VideoRetrievalIndex
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tmp_path_factory):
+    path = fixtures.make_vocab(str(tmp_path_factory.mktemp("v") / "vocab.txt"))
+    return WordPieceTokenizer(path)
+
+
+def _model_and_params(tokenizer, rng, **cfg_kw):
+    from univl_tpu.config import BertConfig, DecoderConfig
+
+    # match the model vocab to the fixture tokenizer so decoded ids map back
+    enc = dict(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128,
+    )
+    cfg_kw.setdefault("bert", BertConfig(vocab_size=len(tokenizer), **enc))
+    cfg_kw.setdefault(
+        "decoder",
+        DecoderConfig(
+            vocab_size=len(tokenizer), num_decoder_layers=2,
+            max_target_embeddings=512, **enc,
+        ),
+    )
+    cfg = UniVLConfig.tiny(**cfg_kw)
+    model = UniVL(cfg)
+    batch = {
+        "input_ids": np.ones((2, cfg.max_words), np.int32),
+        "token_type_ids": np.zeros((2, cfg.max_words), np.int32),
+        "attention_mask": np.ones((2, cfg.max_words), np.int32),
+        "video": rng.randn(2, cfg.max_frames, cfg.video_dim).astype(np.float32),
+        "video_mask": np.ones((2, cfg.max_frames), np.int32),
+    }
+    if cfg.stage_two and not cfg.train_sim_after_cross:
+        batch.update(
+            input_caption_ids=np.ones((2, cfg.max_words), np.int32),
+            decoder_mask=np.ones((2, cfg.max_words), np.int32),
+            output_caption_ids=np.ones((2, cfg.max_words), np.int32),
+        )
+    params = {
+        "params": model.init(jax.random.key(0), batch, deterministic=True)["params"]
+    }
+    return cfg, model, params
+
+
+def _videos(rng, n, dim, tmin=3, tmax=12):
+    return [
+        rng.randn(rng.randint(tmin, tmax), dim).astype(np.float32)
+        for _ in range(n)
+    ]
+
+
+def test_index_add_search_roundtrip(rng, tokenizer, tmp_path):
+    cfg, model, params = _model_and_params(tokenizer, rng)
+    idx = VideoRetrievalIndex(model, params, tokenizer, batch_size=4)
+    vids = _videos(rng, 10, cfg.video_dim)
+    idx.add(vids, ids=[f"v{i}" for i in range(10)])
+    assert len(idx) == 10
+
+    res = idx.search(["cooking pasta", "slice the onion"], top_k=3)
+    assert len(res) == 2 and all(len(r) == 3 for r in res)
+    for r in res:
+        ids = [i for i, _ in r]
+        scores = [s for _, s in r]
+        assert len(set(ids)) == 3
+        assert scores == sorted(scores, reverse=True)
+
+    # save/load preserves results exactly
+    path = str(tmp_path / "index.npz")
+    idx.save(path)
+    idx2 = VideoRetrievalIndex.load(path, model, params, tokenizer, batch_size=4)
+    res2 = idx2.search(["cooking pasta", "slice the onion"], top_k=3)
+    assert res == res2
+
+    # incremental add after load
+    idx2.add(_videos(rng, 3, cfg.video_dim), ids=["a", "b", "c"])
+    assert len(idx2) == 13
+
+
+def test_index_dense_matches_evaluator_pooling(rng, tokenizer):
+    """Index embeddings must equal the eval pipeline's pooled embeddings
+    (same normalization contract as joint_similarity)."""
+    cfg, model, params = _model_and_params(tokenizer, rng)
+    idx = VideoRetrievalIndex(model, params, tokenizer, batch_size=4)
+    vids = _videos(rng, 4, cfg.video_dim)
+    idx.add(vids)
+
+    from univl_tpu.data.text_encoding import pad_video
+
+    feats = np.stack(
+        [pad_video(v, cfg.max_frames, cfg.video_dim)[0] for v in vids]
+    )
+    masks = np.stack(
+        [pad_video(v, cfg.max_frames, cfg.video_dim)[1] for v in vids]
+    )
+    batch = {
+        "input_ids": np.ones((4, cfg.max_words), np.int32),
+        "token_type_ids": np.zeros((4, cfg.max_words), np.int32),
+        "attention_mask": np.ones((4, cfg.max_words), np.int32),
+        "video": feats,
+        "video_mask": masks,
+    }
+    seq, vis = model.apply(
+        params, batch["input_ids"], batch["token_type_ids"],
+        batch["attention_mask"], batch["video"], batch["video_mask"],
+        method=UniVL.encode,
+    )
+    _, video_out = UniVL.mean_pool(seq, vis, batch["attention_mask"], batch["video_mask"])
+    video_out = np.asarray(video_out)
+    video_out = video_out / np.linalg.norm(video_out, axis=-1, keepdims=True)
+    np.testing.assert_allclose(idx.video_emb, video_out, atol=1e-5)
+
+
+def test_index_rerank_orders_by_cross_scores(rng, tokenizer):
+    cfg, model, params = _model_and_params(
+        tokenizer, rng, train_sim_after_cross=True
+    )
+    idx = VideoRetrievalIndex(
+        model, params, tokenizer, batch_size=4, store_full=True
+    )
+    idx.add(_videos(rng, 8, cfg.video_dim), ids=[f"v{i}" for i in range(8)])
+    res = idx.search(["stir the soup"], top_k=2, rerank=6)
+    assert len(res) == 1 and len(res[0]) == 2
+    scores = [s for _, s in res[0]]
+    assert scores == sorted(scores, reverse=True)
+    # rerank scores come from the cross head, not the dense dot product
+    dense = idx.search(["stir the soup"], top_k=2)
+    assert not np.allclose(
+        [s for _, s in dense[0]], scores
+    )
+
+
+def test_index_requires_cross_for_store_full(rng, tokenizer):
+    cfg, model, params = _model_and_params(tokenizer, rng)  # no cross tower
+    with pytest.raises(AssertionError):
+        VideoRetrievalIndex(model, params, tokenizer, store_full=True)
+
+
+def test_caption_service_ragged_batches(rng, tokenizer):
+    cfg, model, params = _model_and_params(
+        tokenizer, rng, stage_two=True, task_type="caption"
+    )
+    svc = CaptionService(
+        model, params, tokenizer, beam_size=2, max_len=8, batch_size=4
+    )
+    vids = _videos(rng, 5, cfg.video_dim)  # 5 rows -> one full + one ragged batch
+    caps = svc.caption(vids)
+    assert len(caps) == 5
+    assert all(isinstance(c, str) for c in caps)
+    # with transcripts: same count, deterministic across calls
+    caps_t = svc.caption(vids, transcripts=["chop the garlic"] * 5)
+    caps_t2 = svc.caption(vids, transcripts=["chop the garlic"] * 5)
+    assert caps_t == caps_t2

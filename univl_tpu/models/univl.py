@@ -211,6 +211,30 @@ class UniVL(nn.Module):
         vis_out = self.visual(video, video_mask, deterministic=deterministic)
         return seq_out, vis_out
 
+    def encode_text(
+        self,
+        input_ids: jax.Array,
+        token_type_ids: jax.Array,
+        attention_mask: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Text tower only — serving path (queries arrive without video)."""
+        return self.text(
+            input_ids, token_type_ids, attention_mask, deterministic=deterministic
+        )
+
+    def encode_video(
+        self,
+        video: jax.Array,
+        video_mask: jax.Array,
+        deterministic: bool = True,
+        video_normalized: bool = False,
+    ) -> jax.Array:
+        """Visual tower only — serving path (index build without text)."""
+        if not video_normalized:
+            video = self.normalize_video(video)
+        return self.visual(video, video_mask, deterministic=deterministic)
+
     def get_cross_output(
         self,
         sequence_output: jax.Array,
@@ -298,6 +322,23 @@ class UniVL(nn.Module):
         )
         logits = self.similarity_dense(pooled)
         return logits.reshape(b_text, b_visual).astype(jnp.float32)
+
+    def cross_similarity_pairs(
+        self,
+        sequence_output: jax.Array,
+        visual_output: jax.Array,
+        attention_mask: jax.Array,
+        video_mask: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Row-ALIGNED cross-encoder similarity [N] (serving rerank path:
+        score pre-paired (text, candidate) rows without the all-pairs
+        repeat of cross_similarity)."""
+        _, pooled, _ = self.get_cross_output(
+            sequence_output, visual_output, attention_mask, video_mask,
+            deterministic=deterministic,
+        )
+        return self.similarity_dense(pooled)[:, 0].astype(jnp.float32)
 
     def similarity_logits(
         self,

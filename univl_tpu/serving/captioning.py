@@ -1,0 +1,89 @@
+"""Batched captioning service over raw S3D feature clips.
+
+Serving front-end for the KV-cache beam decoder (evals/fast_decoder.py):
+accepts ragged request lists, pads them into the generator's fixed batch
+shape, and decodes with or without transcripts:
+
+  - with transcripts: the YouCook2 caption setting (encoder text =
+    transcript, reference dataloader_youcook_caption.py:78)
+  - without: the MSRVTT video-only setting (encoder text = [CLS][SEP],
+    reference dataloader_msrvtt_caption.py:82-87)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from univl_tpu.data.text_encoding import encode_text, pad_video
+from univl_tpu.evals.beam import CaptionGenerator
+from univl_tpu.models.univl import UniVL
+
+
+class CaptionService:
+    def __init__(
+        self,
+        model: UniVL,
+        params,
+        tokenizer,
+        beam_size: int = 5,
+        max_len: Optional[int] = None,
+        batch_size: int = 16,
+        mesh=None,
+    ):
+        cfg = model.cfg
+        self.tokenizer = tokenizer
+        self.max_words = cfg.max_words
+        self.max_frames = cfg.max_frames
+        self.video_dim = cfg.video_dim
+        self.batch_size = batch_size
+        self._gen = CaptionGenerator(
+            model, params, tokenizer,
+            beam_size=beam_size,
+            max_len=max_len or cfg.max_words,
+            batch_size=batch_size,
+            incremental=True,
+            mesh=mesh,
+        )
+
+    def caption(
+        self,
+        videos: Sequence[np.ndarray],
+        transcripts: Optional[Sequence[str]] = None,
+    ) -> List[str]:
+        """``videos``: [T_i, video_dim] S3D feature arrays (ragged ok).
+        ``transcripts``: optional encoder-side text per clip."""
+        n = len(videos)
+        if transcripts is not None:
+            assert len(transcripts) == n
+        outs: List[str] = []
+        B = self.batch_size
+        for i0 in range(0, n, B):
+            chunk_v = videos[i0 : i0 + B]
+            chunk_t = transcripts[i0 : i0 + B] if transcripts is not None else None
+            batch = self._build_batch(chunk_v, chunk_t)
+            outs.extend(self._gen.generate(batch)[: len(chunk_v)])
+        return outs
+
+    def _build_batch(self, videos, transcripts):
+        B = self.batch_size
+        feats = np.zeros((B, self.max_frames, self.video_dim), np.float32)
+        vmask = np.zeros((B, self.max_frames), np.int32)
+        ids = np.zeros((B, self.max_words), np.int32)
+        amask = np.zeros((B, self.max_words), np.int32)
+        for i in range(B):
+            j = min(i, len(videos) - 1)  # repeat last row into the pad slots
+            feats[i], vmask[i], _ = pad_video(
+                np.asarray(videos[j], np.float32), self.max_frames, self.video_dim
+            )
+            text = transcripts[j] if transcripts is not None else ""
+            e = encode_text(text, self.tokenizer, self.max_words, with_mlm=False)
+            ids[i], amask[i] = e["input_ids"], e["attention_mask"]
+        return {
+            "input_ids": ids,
+            "token_type_ids": np.zeros((B, self.max_words), np.int32),
+            "attention_mask": amask,
+            "video": feats,
+            "video_mask": vmask,
+        }
