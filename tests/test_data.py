@@ -363,3 +363,39 @@ def test_tokenizer_rejects_bad_vocab(tmp_path):
     p2.write_text("[PAD]\n[UNK]\n[CLS]\n[SEP]\n[MASK]\nfoo\nfoo\n")
     with pytest.raises(ValueError, match="duplicate"):
         WordPieceTokenizer(str(p2))
+
+
+def test_cast_floats_and_prefetch_modes():
+    import ml_dtypes
+    from univl_tpu.data.batching import cast_floats, prefetch_to_device
+
+    batch = {
+        "video": np.random.randn(2, 3, 4).astype(np.float32),
+        "ids": np.ones((2, 3), np.int32),
+    }
+    out = cast_floats(batch, "bfloat16")
+    assert out["video"].dtype == ml_dtypes.bfloat16
+    assert out["ids"].dtype == np.int32
+    np.testing.assert_allclose(
+        out["video"].astype(np.float32), batch["video"], rtol=8e-3
+    )
+    assert cast_floats(batch, "float32")["video"].dtype == np.float32
+
+    # both prefetch modes deliver every item, in order, through `put`
+    for put_in_worker in (True, False):
+        got = list(
+            prefetch_to_device(
+                iter(range(7)), put=lambda x: x * 2, put_in_worker=put_in_worker
+            )
+        )
+        assert got == [0, 2, 4, 6, 8, 10, 12]
+
+    # errors from the producer still propagate in consumer-put mode
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(prefetch_to_device(bad(), put=lambda x: x, put_in_worker=False))

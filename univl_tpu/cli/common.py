@@ -120,6 +120,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--intermediate_size", type=int, default=3072)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of early train steps")
+    p.add_argument("--transfer_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="host->device dtype for float features; bfloat16 "
+                        "halves transfer bytes (input fidelity ~3 digits)")
+    p.add_argument("--no_prefetch", action="store_true",
+                   help="disable the background device-transfer thread "
+                        "(helps on transfer-bound links, see docs/PERF.md)")
     return p
 
 
@@ -310,6 +317,30 @@ def make_trainer(args, model, n_train_batches: int, logger):
     return trainer
 
 
+def make_input_iter(args, trainer, batcher, epoch: int):
+    """Epoch input pipeline: host batches -> (optional float cast) ->
+    device placement, optionally on a background prefetch thread."""
+    from univl_tpu.data.batching import cast_floats, prefetch_to_device
+
+    accum = args.gradient_accumulation_steps
+    tdtype = getattr(args, "transfer_dtype", "float32")
+
+    def host_iter():
+        for b in batcher.epoch(epoch):
+            b = {k: (v if accum > 1 else v[None]) for k, v in b.items()}
+            if tdtype != "float32":
+                b = cast_floats(b, tdtype)
+            yield b
+
+    if getattr(args, "no_prefetch", False):
+        return (trainer.shard_batch(b) for b in host_iter())
+    # put_in_worker=False keeps all device interaction on the main thread;
+    # measured equal to worker-side put end-to-end (docs/PERF.md).
+    return prefetch_to_device(
+        host_iter(), put=trainer.shard_batch, put_in_worker=False
+    )
+
+
 def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
                      select_key=None, select_sign=1.0):
     """Generic epoch loop: train, optionally eval + best-model selection.
@@ -320,8 +351,6 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
     import jax
 
     from univl_tpu.checkpoint.io import save_checkpoint
-    from univl_tpu.data.batching import prefetch_to_device
-
     from univl_tpu.utils.profiling import StepTimer
 
     best = None
@@ -333,15 +362,11 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
     profiling = False
     for epoch in range(args.epochs):
         t0 = time.time()
-        total_loss, n_steps = 0.0, 0
-        accum = args.gradient_accumulation_steps
-        it = prefetch_to_device(
-            (
-                {k: (v if accum > 1 else v[None]) for k, v in b.items()}
-                for b in batcher.epoch(epoch)
-            ),
-            put=trainer.shard_batch,
-        )
+        # loss accumulates ON DEVICE: fetching it every step would force a
+        # host sync per step (a full pipeline stall; ~25 ms RTT on tunneled
+        # backends). We only sync at n_display boundaries and epoch end.
+        loss_sum, n_steps = None, 0
+        it = make_input_iter(args, trainer, batcher, epoch)
         for step, batch in enumerate(it):
             if profile_dir and epoch == 0 and step == 2 and not profiling:
                 import jax as _jax
@@ -353,8 +378,7 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
             )
             global_step += 1
             n_steps += 1
-            loss = float(metrics["loss"])  # sync point
-            total_loss += loss
+            loss_sum = metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
             timer.tick(items_per_step)
             if profiling and step == 7:
                 import jax as _jax
@@ -365,9 +389,10 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
             if global_step % args.n_display == 0:
                 logger.info(
                     "Epoch %d/%d Step %d Loss %.6f Time/step %.3f (%.0f clips/s)",
-                    epoch + 1, args.epochs, global_step, loss,
+                    epoch + 1, args.epochs, global_step, float(metrics["loss"]),
                     timer.ema or 0.0, timer.items_per_sec,
                 )
+        total_loss = float(loss_sum) if loss_sum is not None else 0.0
         logger.info("Epoch %d done: mean loss %.6f (%.1fs)",
                     epoch + 1, total_loss / max(n_steps, 1), time.time() - t0)
 

@@ -51,7 +51,7 @@ def main(argv=None):
     import jax
 
     from univl_tpu.checkpoint.io import restore_checkpoint, save_checkpoint
-    from univl_tpu.data.batching import Batcher, prefetch_to_device
+    from univl_tpu.data.batching import Batcher
     from univl_tpu.data.howto100m import HowTo100MPretrainDataset
     from univl_tpu.data.tokenization import WordPieceTokenizer
     from univl_tpu.models.univl import UniVL
@@ -114,15 +114,10 @@ def main(argv=None):
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        total_loss, n_steps = 0.0, 0
-        accum = args.gradient_accumulation_steps
-        it = prefetch_to_device(
-            (
-                {k: (v if accum > 1 else v[None]) for k, v in b.items()}
-                for b in batcher.epoch(epoch)
-            ),
-            put=trainer.shard_batch,
-        )
+        # device-side loss accumulation; host sync only at n_display
+        # boundaries (see common.run_train_epochs)
+        loss_sum, n_steps = None, 0
+        it = common.make_input_iter(args, trainer, batcher, epoch)
         for batch in it:
             state, metrics = trainer.train_step(
                 state, batch,
@@ -130,7 +125,7 @@ def main(argv=None):
             )
             global_step += 1
             n_steps += 1
-            total_loss += float(metrics["loss"])
+            loss_sum = metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
             if global_step % args.n_display == 0:
                 logger.info(
                     "Epoch %d Step %d Loss %.6f (%s) Time/step %.3f",
@@ -138,6 +133,7 @@ def main(argv=None):
                     {k: round(float(v), 4) for k, v in metrics.items() if k != "loss"},
                     (time.time() - t0) / n_steps,
                 )
+        total_loss = float(loss_sum) if loss_sum is not None else 0.0
         logger.info("Epoch %d done: mean loss %.6f", epoch + 1,
                     total_loss / max(n_steps, 1))
         # full train-state checkpoint incl optimizer (main_pretrain.py:258-276)

@@ -93,13 +93,38 @@ class Batcher:
                 yield batch
 
 
+def cast_floats(batch: Dict[str, np.ndarray], dtype) -> Dict[str, np.ndarray]:
+    """Cast float32 arrays (the video features) to `dtype` ON HOST before
+    device transfer — halves host->device bytes at bf16. int/mask arrays
+    pass through. The model upcasts to fp32 for the feature LayerNorm
+    either way (models/univl.py normalize_video), so only input fidelity
+    changes (~3 significant digits at bf16)."""
+    import ml_dtypes
+
+    np_dtype = np.dtype(
+        ml_dtypes.bfloat16 if str(dtype) == "bfloat16" else dtype
+    )
+    return {
+        k: v.astype(np_dtype) if v.dtype == np.float32 else v
+        for k, v in batch.items()
+    }
+
+
 def prefetch_to_device(
     it: Iterator[Any],
     put: Optional[Callable[[Any], Any]] = None,
     size: int = 2,
+    put_in_worker: bool = True,
 ) -> Iterator[Any]:
     """Background-thread prefetch; `put` typically trainer.shard_batch or
-    jax.device_put."""
+    jax.device_put.
+
+    ``put_in_worker=False`` runs `put` on the CONSUMER thread instead: the
+    background thread overlaps only the host batch-building, and all device
+    interaction stays on one thread (simpler to reason about; measured
+    equal to worker-side put on the tunneled backend, docs/PERF.md). With
+    put_in_worker=True the host->device copy itself also overlaps the
+    running step."""
     if put is None:
         import jax
 
@@ -111,7 +136,7 @@ def prefetch_to_device(
     def worker():
         try:
             for item in it:
-                q.put(put(item))
+                q.put(put(item) if put_in_worker else item)
         except BaseException as e:  # propagate to consumer
             err.append(e)
         finally:
@@ -125,4 +150,4 @@ def prefetch_to_device(
             if err:
                 raise err[0]
             return
-        yield item
+        yield item if put_in_worker else put(item)
