@@ -108,8 +108,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true",
-                   help="opt into the fused Pallas attention kernel "
-                        "(measured slower than XLA at UniVL shapes, docs/PERF.md)")
+                   help="force the fused Pallas attention kernel everywhere "
+                        "(wins at pretrain-scale batches; prefer "
+                        "--attention auto, docs/PERF.md)")
+    p.add_argument("--attention", type=str, default=None,
+                   choices=["xla", "pallas", "auto"],
+                   help="attention impl; auto = Pallas only at shapes where "
+                        "it measured faster (overrides --use_pallas)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--scan_layers", action="store_true",
                    help="roll tower layers into one nn.scan: much faster "
@@ -212,7 +217,11 @@ def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
         task_type=task_type,
         batch_size_per_device=bs_per_dev,
         compute_dtype=dtype,
-        use_pallas=(on_tpu and args.use_pallas),
+        use_pallas=(
+            {"xla": False, "pallas": True, "auto": "auto"}[args.attention]
+            if getattr(args, "attention", None)
+            else (on_tpu and args.use_pallas)
+        ),
         remat=args.remat,
         scan_layers=args.scan_layers,
     )

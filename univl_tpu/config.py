@@ -134,11 +134,12 @@ class UniVLConfig:
 
     # --- TPU-native knobs (no reference equivalent) ---
     compute_dtype: str = "float32"  # "bfloat16" for TPU speed
-    # Fused Pallas attention is available (univl_tpu/kernels/attention.py) but
-    # measured SLOWER than XLA's fused path at UniVL's short sequence lengths
-    # (0.6-0.85x at L=48..224, D=64: MXU lane padding outweighs fusion —
-    # see docs/PERF.md), so XLA is the default compute path.
-    use_pallas: bool = False
+    # Fused Pallas attention (univl_tpu/kernels/attention.py): measured
+    # ~parity with XLA at finetune shapes but 1.29x at pretrain-scale
+    # batches (docs/PERF.md). False = always XLA (default, bit-parity
+    # path), True = always Pallas, "auto" = Pallas only in its winning
+    # regime (B*Lk >= 16384, deterministic mode).
+    use_pallas: object = False
     remat: bool = False  # jax.checkpoint on encoder layers
     # Roll the tower layers into one nn.scan (stacked params, one traced
     # layer): cuts trace+compile time for deep towers at identical math.

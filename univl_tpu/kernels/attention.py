@@ -6,10 +6,14 @@ padded (max_words<=128, max_frames<=96, cross<=224), so one batch row's
 q/k/v (all heads) fits VMEM whole — no streaming/flash decomposition.
 
 Key design points vs a naive port:
+  - NO host-side padding. An earlier version padded L and D up to lane
+    multiples with jnp.pad before the pallas_call; at D=64 that doubled
+    the q/k/v HBM traffic and erased the fusion win end-to-end (XLA 1.04x
+    FASTER at B=256, L=96). Passing raw shapes and letting Mosaic relayout
+    in VMEM turned the same kernel into a 1.35x win at those shapes
+    (docs/PERF.md).
   - the additive mask is NOT materialized at [B, H, Lq, Lk]; the kernel
     takes the [B, Lk] key-validity mask and adds the -1e9 bias in-register
-    (an early version materialized the bias and was 2x SLOWER than XLA
-    purely from that HBM traffic)
   - grid over batch only; all heads are one batched dot_general per program
   - optional causal masking computed from iota in-kernel (decoder self-attn)
 
@@ -26,12 +30,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
-                 causal: bool, lq: int):
+                 causal: bool):
     q = q_ref[0]  # [H, Lq, D]
     k = k_ref[0]  # [H, Lk, D]
     v = v_ref[0]  # [H, Lk, D]
@@ -76,44 +76,30 @@ def fused_attention_masked(
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     scale = 1.0 / math.sqrt(D)
+    mp = key_mask.astype(jnp.float32)[:, None, :]  # [B, 1, Lk]
 
-    lane = 128
-    sub = 16 if q.dtype == jnp.bfloat16 else 8
-    Lq_p = _round_up(Lq, sub)
-    Lk_p = _round_up(Lk, lane)
-    D_p = _round_up(D, lane)
-
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Lq_p - Lq), (0, D_p - D)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Lk_p - Lk), (0, D_p - D)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Lk_p - Lk), (0, D_p - D)))
-    mp = jnp.pad(
-        key_mask.astype(jnp.float32), ((0, 0), (0, Lk_p - Lk))
-    )[:, None, :]  # [B, 1, Lk_p]; padding keys get mask 0 -> -1e9 bias
-
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, causal=causal, lq=Lq),
-        out_shape=jax.ShapeDtypeStruct((B, H, Lq_p, D_p), q.dtype),
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, causal=causal),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, H, Lq_p, D_p), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, H, Lq, D), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, Lk_p, D_p), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, H, Lk, D), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, Lk_p, D_p), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, H, Lk, D), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lk_p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, Lk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, Lq_p, D_p), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, H, Lq, D), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Lq_p * Lk_p * D_p,
-            bytes_accessed=B * H * (Lq_p * D_p * 2 + 2 * Lk_p * D_p) * q.dtype.itemsize,
-            transcendentals=B * H * Lq_p * Lk_p,
+            flops=4 * B * H * Lq * Lk * D,
+            bytes_accessed=B * H * (Lq * D * 2 + 2 * Lk * D) * q.dtype.itemsize,
+            transcendentals=B * H * Lq * Lk,
         ),
-    )(qp, kp, vp, mp)
-
-    return out[:, :, :Lq, :D]
+    )(q, k, v, mp)
 
 
 def fused_attention(q, k, v, bias):

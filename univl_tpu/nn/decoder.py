@@ -49,7 +49,7 @@ class DecoderLayer(nn.Module):
 
     cfg: DecoderConfig
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: object = False  # False | True | "auto"
 
     @nn.compact
     def __call__(
@@ -107,7 +107,7 @@ class CaptionDecoder(nn.Module):
     word_embed: nn.Module  # shared nn.Embed (BERT word table)
     pos_embed: nn.Module  # shared nn.Embed (BERT position table)
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: object = False  # False | True | "auto"
 
     @nn.compact
     def __call__(

@@ -129,7 +129,10 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.1
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
+    # False: XLA; True: fused Pallas kernel; "auto": Pallas only at shapes
+    # where it measured faster (B*Lk >= 16384, i.e. pretrain-scale eval
+    # batches; at finetune shapes XLA wins — docs/PERF.md).
+    use_pallas: object = False
 
     @nn.compact
     def __call__(
@@ -152,8 +155,11 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
 
+        impl = self.use_pallas
+        if impl == "auto":
+            impl = q.shape[0] * k.shape[2] >= 16384  # pallas-winning regime
         use_fused = (
-            self.use_pallas
+            bool(impl)
             and deterministic  # fused kernel has no attention-prob dropout
             and jax.default_backend() == "tpu"
         )
@@ -212,7 +218,7 @@ class TransformerLayer(nn.Module):
     attn_dropout_rate: float = 0.1
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: object = False  # False | True | "auto"
     # When used as an nn.scan body, __call__ must return (carry, per-step
     # output); the layer then returns (x, None) instead of x.
     scan_form: bool = False
@@ -275,7 +281,7 @@ class TransformerStack(nn.Module):
     attn_dropout_rate: float = 0.1
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: object = False  # False | True | "auto"
     remat: bool = False
     scan_layers: bool = False
 

@@ -57,7 +57,7 @@ class TextEncoder(nn.Module):
     word_embed: nn.Module  # shared nn.Embed, owned by UniVL
     pos_embed: nn.Module  # shared nn.Embed, owned by UniVL
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: object = False  # False | True | "auto"
     remat: bool = False
     scan_layers: bool = False
 
@@ -140,7 +140,7 @@ class VisualEncoder(nn.Module):
     cfg: VisualConfig
     feature_proj: nn.Module
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: object = False  # False | True | "auto"
     remat: bool = False
     scan_layers: bool = False
 
@@ -182,7 +182,7 @@ class CrossEncoder(nn.Module):
 
     cfg: CrossConfig
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
+    use_pallas: object = False  # False | True | "auto"
     remat: bool = False
     scan_layers: bool = False
 
