@@ -212,3 +212,28 @@ def test_ft_align_driver(tmp_path, vocab, youcook):
     )
     assert best is not None and best["mode"] == "cross"
     assert 0.0 <= best["R1"] <= 1.0
+
+
+def test_metrics_jsonl_written(tmp_path, vocab, youcook):
+    """Structured metrics sidecar: train/epoch/eval records with floats."""
+    import json as _json
+
+    from univl_tpu.cli.task_retrieval import main
+
+    csv_path, data_path, feat_path = youcook
+    out = str(tmp_path / "mj")
+    main(
+        ["--do_train", "--do_eval", "--datatype", "youcook",
+         "--vocab_file", vocab, "--train_csv", csv_path, "--val_csv", csv_path,
+         "--data_path", data_path, "--features_path", feat_path,
+         "--output_dir", out] + COMMON
+    )
+    path = os.path.join(out, "metrics.jsonl")
+    assert os.path.exists(path)
+    records = [_json.loads(l) for l in open(path)]
+    kinds = {r["kind"] for r in records}
+    assert {"train", "epoch", "eval"} <= kinds
+    train = [r for r in records if r["kind"] == "train"]
+    assert all(np.isfinite(r["loss"]) for r in train)
+    ev = [r for r in records if r["kind"] == "eval"][0]
+    assert "R1" in ev and 0.0 <= ev["R1"] <= 1.0

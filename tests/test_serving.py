@@ -162,3 +162,32 @@ def test_caption_service_ragged_batches(rng, tokenizer):
     caps_t = svc.caption(vids, transcripts=["chop the garlic"] * 5)
     caps_t2 = svc.caption(vids, transcripts=["chop the garlic"] * 5)
     assert caps_t == caps_t2
+
+
+def test_index_mesh_sharded_matches_single(rng, tokenizer):
+    """Mesh-sharded index encode must produce identical search results."""
+    import jax
+    from univl_tpu.parallel.mesh import make_mesh
+
+    cfg, model, params = _model_and_params(tokenizer, rng)
+    vids = _videos(rng, 9, cfg.video_dim)
+    ids = [f"v{i}" for i in range(9)]
+    queries = ["whisk the eggs", "pour into the pan"]
+
+    idx1 = VideoRetrievalIndex(model, params, tokenizer, batch_size=8)
+    idx1.add(vids, ids=ids)
+    r1 = idx1.search(queries, top_k=4)
+
+    assert len(jax.devices()) == 8
+    idx2 = VideoRetrievalIndex(
+        model, params, tokenizer, batch_size=8, mesh=make_mesh()
+    )
+    idx2.add(vids, ids=ids)
+    r2 = idx2.search(queries, top_k=4)
+
+    np.testing.assert_allclose(idx1.video_emb, idx2.video_emb, atol=1e-5)
+    for a, b in zip(r1, r2):
+        assert [i for i, _ in a] == [i for i, _ in b]
+        np.testing.assert_allclose(
+            [s for _, s in a], [s for _, s in b], atol=1e-5
+        )

@@ -24,6 +24,43 @@ from typing import Optional
 import numpy as np
 
 
+class MetricsWriter:
+    """Structured run metrics: one JSON object per line in metrics.jsonl.
+
+    Machine-readable companion to log.txt (the reference only has free-text
+    logging, util.py:62-73) — feeds dashboards/regression tooling without
+    log parsing. Records train display-points and eval results."""
+
+    def __init__(self, output_dir: Optional[str]):
+        self._f = None
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            self._f = open(
+                os.path.join(output_dir, "metrics.jsonl"), "a", buffering=1
+            )
+
+    def write(self, kind: str, **fields):
+        if self._f is None:
+            return
+        import json as _json
+
+        rec = {"ts": round(time.time(), 3), "kind": kind}
+        for k, v in fields.items():
+            if isinstance(v, (int, float, str, bool)) or v is None:
+                rec[k] = v
+            else:
+                try:
+                    rec[k] = float(v)
+                except (TypeError, ValueError):
+                    pass
+        self._f.write(_json.dumps(rec) + "\n")
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
 def get_logger(output_dir: Optional[str] = None, name: str = "univl_tpu"):
     logger = logging.getLogger(name)
     if logger.handlers:
@@ -366,6 +403,9 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
     best_score = -np.inf
     global_step = 0
     timer = StepTimer()
+    mw = MetricsWriter(args.output_dir)
+    # hoisted: constructing jax.random.key per step costs ~3 ms host time
+    base_key = jax.random.key(args.seed)
     items_per_step = args.batch_size * args.gradient_accumulation_steps
     profile_dir = getattr(args, "profile_dir", None)
     profiling = False
@@ -383,7 +423,7 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
                 _jax.profiler.start_trace(profile_dir)
                 profiling = True
             state, metrics = trainer.train_step(
-                state, batch, jax.random.fold_in(jax.random.key(args.seed), global_step)
+                state, batch, jax.random.fold_in(base_key, global_step)
             )
             global_step += 1
             n_steps += 1
@@ -396,14 +436,19 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
                 profiling = False
                 logger.info("profiler trace written to %s", profile_dir)
             if global_step % args.n_display == 0:
+                disp_loss = float(metrics["loss"])
                 logger.info(
                     "Epoch %d/%d Step %d Loss %.6f Time/step %.3f (%.0f clips/s)",
-                    epoch + 1, args.epochs, global_step, float(metrics["loss"]),
+                    epoch + 1, args.epochs, global_step, disp_loss,
                     timer.ema or 0.0, timer.items_per_sec,
                 )
+                mw.write("train", epoch=epoch, step=global_step, loss=disp_loss,
+                         clips_per_sec=timer.items_per_sec)
         total_loss = float(loss_sum) if loss_sum is not None else 0.0
         logger.info("Epoch %d done: mean loss %.6f (%.1fs)",
                     epoch + 1, total_loss / max(n_steps, 1), time.time() - t0)
+        mw.write("epoch", epoch=epoch, mean_loss=total_loss / max(n_steps, 1),
+                 seconds=time.time() - t0, steps=n_steps)
 
         ckpt = os.path.join(args.output_dir, f"params.msgpack.{epoch}")
         save_checkpoint(ckpt, state.params,
@@ -420,6 +465,10 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
                     metadata={"epoch": epoch, "metrics": {k: float(v) for k, v in metrics.items() if isinstance(v, (int, float))}},
                 )
             logger.info("Eval epoch %d: %s", epoch + 1, metrics)
+            mw.write("eval", epoch=epoch,
+                     **{k: v for k, v in metrics.items()
+                        if isinstance(v, (int, float))})
     if best is not None:
         logger.info("Best: %s", best)
+    mw.close()
     return state, best

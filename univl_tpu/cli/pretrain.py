@@ -112,6 +112,8 @@ def main(argv=None):
             global_step = int(meta["global_step"])
             logger.info("resumed from epoch %d, global_step %d", start_epoch, global_step)
 
+    mw = common.MetricsWriter(args.output_dir)
+    base_key = jax.random.key(args.seed)  # hoisted: ~3 ms host cost per key
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         # device-side loss accumulation; host sync only at n_display
@@ -121,21 +123,25 @@ def main(argv=None):
         for batch in it:
             state, metrics = trainer.train_step(
                 state, batch,
-                jax.random.fold_in(jax.random.key(args.seed), global_step),
+                jax.random.fold_in(base_key, global_step),
             )
             global_step += 1
             n_steps += 1
             loss_sum = metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
             if global_step % args.n_display == 0:
+                sub = {k: round(float(v), 4) for k, v in metrics.items() if k != "loss"}
                 logger.info(
                     "Epoch %d Step %d Loss %.6f (%s) Time/step %.3f",
-                    epoch + 1, global_step, float(metrics["loss"]),
-                    {k: round(float(v), 4) for k, v in metrics.items() if k != "loss"},
+                    epoch + 1, global_step, float(metrics["loss"]), sub,
                     (time.time() - t0) / n_steps,
                 )
+                mw.write("train", epoch=epoch, step=global_step,
+                         loss=float(metrics["loss"]), **sub)
         total_loss = float(loss_sum) if loss_sum is not None else 0.0
         logger.info("Epoch %d done: mean loss %.6f", epoch + 1,
                     total_loss / max(n_steps, 1))
+        mw.write("epoch", epoch=epoch, mean_loss=total_loss / max(n_steps, 1),
+                 seconds=time.time() - t0, steps=n_steps)
         # full train-state checkpoint incl optimizer (main_pretrain.py:258-276)
         if manager is not None:
             manager.save(global_step, state,
@@ -148,6 +154,7 @@ def main(argv=None):
                 os.path.join(args.output_dir, f"params.msgpack.{epoch}"), state.params,
                 metadata={"epoch": epoch, "global_step": global_step},
             )
+    mw.close()
     if manager is not None:
         manager.close()
     return state
