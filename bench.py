@@ -48,7 +48,13 @@ def main():
     )
     model = UniVL(cfg)
     mesh = make_mesh()
-    tx = make_univl_optimizer(lr=3e-5, t_total=1000, warmup_proportion=0.1)
+    # bf16 Adam moments: 7% faster step (optimizer is HBM-bound), loss
+    # trajectory matches fp32 to ~1e-5 after 20 steps (docs/PERF.md);
+    # production default for throughput runs, opt out via --adam_state_dtype
+    tx = make_univl_optimizer(
+        lr=3e-5, t_total=1000, warmup_proportion=0.1,
+        state_dtype="bfloat16" if on_tpu else None,
+    )
     trainer = Trainer(model, tx, mesh, grad_accum_steps=1)
 
     per_dev = _make_batch(cfg, batch_per_dev)

@@ -112,3 +112,37 @@ def test_warmup_constant_and_cosine():
     assert float(warmup_cosine(0.05, 0.1)) == pytest.approx(0.5)
     assert float(warmup_cosine(0.5, 0.1)) == pytest.approx(0.5, abs=1e-6)
     assert float(warmup_cosine(1.0, 0.1)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_bert_adam_bf16_state_tracks_fp32():
+    """bfloat16 moment storage: same trajectory to loose tolerance, half the
+    state bytes; moment math stays fp32."""
+    import jax
+    import jax.numpy as jnp
+
+    from univl_tpu.train.optimization import bert_adam
+
+    params = {"w": jnp.asarray(np.linspace(-1, 1, 64).reshape(8, 8), jnp.float32)}
+    tx32 = bert_adam(lr=1e-2, warmup=0.1, t_total=50)
+    tx16 = bert_adam(lr=1e-2, warmup=0.1, t_total=50, state_dtype="bfloat16")
+    s32, s16 = tx32.init(params), tx16.init(params)
+    assert s16.m["w"].dtype == jnp.bfloat16 and s32.m["w"].dtype == jnp.float32
+
+    p32 = {"w": params["w"]}
+    p16 = {"w": params["w"]}
+    rng = np.random.RandomState(0)
+    for i in range(10):
+        g = {"w": jnp.asarray(rng.randn(8, 8) * 0.1, jnp.float32)}
+        u32, s32 = tx32.update(g, s32, p32)
+        u16, s16 = tx16.update(g, s16, p16)
+        p32 = jax.tree.map(lambda p, u: p + u, p32, u32)
+        p16 = jax.tree.map(lambda p, u: p + u, p16, u16)
+    # bf16 moments carry ~3 significant digits; after 10 steps of ~1e-2
+    # updates the trajectories agree to ~1e-3 (and to ~1e-5 in the full
+    # model at lr 3e-5, docs/PERF.md)
+    np.testing.assert_allclose(
+        np.asarray(p16["w"]), np.asarray(p32["w"]), rtol=0, atol=5e-3
+    )
+    total_move = np.abs(np.asarray(p32["w"]) - np.asarray(params["w"])).mean()
+    drift = np.abs(np.asarray(p16["w"]) - np.asarray(p32["w"])).mean()
+    assert drift < 0.02 * total_move, (drift, total_move)

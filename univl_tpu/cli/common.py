@@ -166,6 +166,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="host->device dtype for float features; bfloat16 "
                         "halves transfer bytes (input fidelity ~3 digits)")
+    p.add_argument("--adam_state_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype for BertAdam moments; bfloat16 halves "
+                        "optimizer HBM traffic/memory (not reference-exact)")
     p.add_argument("--no_prefetch", action="store_true",
                    help="disable the background device-transfer thread "
                         "(helps on transfer-bound links, see docs/PERF.md)")
@@ -355,6 +359,9 @@ def make_trainer(args, model, n_train_batches: int, logger):
         t_total=max(t_total, 1),
         warmup_proportion=args.warmup_proportion,
         coef_lr=args.coef_lr,
+        state_dtype=(
+            args.adam_state_dtype if args.adam_state_dtype != "float32" else None
+        ),
     )
     trainer = Trainer(
         model, tx, mesh, grad_accum_steps=args.gradient_accumulation_steps

@@ -75,19 +75,28 @@ def bert_adam(
     max_grad_norm: float = 1.0,
     decay_mask: Optional[Callable] = None,
     lr_scale: Optional[Callable] = None,
+    state_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """Exact BertAdam clone.
 
     decay_mask(params) -> tree of bool: True where weight decay applies.
     lr_scale(params)   -> tree of float: per-leaf LR multiplier (coef_lr).
+    state_dtype: storage dtype for the m/v moments (default: the param
+    dtype, fp32). "bfloat16" halves optimizer HBM traffic + memory — the
+    optimizer is bandwidth-bound at ~3.2 ms of a 24 ms step (docs/PERF.md)
+    — at slightly noisier moment accumulation (moment MATH stays fp32).
+    Not reference-exact; keep fp32 for bit-level finetune parity.
     """
+    sdt = jnp.dtype(state_dtype) if state_dtype else None
 
     def init_fn(params):
-        zeros = jax.tree.map(lambda p: jnp.zeros_like(p), params)
+        def z(p):
+            return jnp.zeros(p.shape, sdt or p.dtype)
+
         return BertAdamState(
             step=jnp.zeros([], jnp.int32),
-            m=zeros,
-            v=jax.tree.map(lambda p: jnp.zeros_like(p), params),
+            m=jax.tree.map(z, params),
+            v=jax.tree.map(z, params),
         )
 
     def update_fn(grads, state, params):
@@ -96,8 +105,15 @@ def bert_adam(
         if max_grad_norm > 0:
             grads = jax.tree.map(lambda g: _clip_per_param(g, max_grad_norm), grads)
 
-        m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, state.m, grads)
-        v = jax.tree.map(lambda vv, g: b2 * vv + (1 - b2) * g * g, state.v, grads)
+        store = (lambda x: x.astype(sdt)) if sdt else (lambda x: x)
+        m = jax.tree.map(
+            lambda mm, g: store(b1 * mm.astype(jnp.float32) + (1 - b1) * g),
+            state.m, grads,
+        )
+        v = jax.tree.map(
+            lambda vv, g: store(b2 * vv.astype(jnp.float32) + (1 - b2) * g * g),
+            state.v, grads,
+        )
 
         decay = (
             decay_mask(params)
@@ -117,6 +133,7 @@ def bert_adam(
             lr_t = jnp.asarray(lr, jnp.float32)
 
         def one(mm, vv, p, d, s):
+            mm, vv = mm.astype(jnp.float32), vv.astype(jnp.float32)
             upd = mm / (jnp.sqrt(vv) + eps)
             if weight_decay > 0.0:
                 upd = upd + jnp.where(d, weight_decay, 0.0) * p
@@ -167,6 +184,7 @@ def make_univl_optimizer(
     schedule: str = "warmup_linear",
     weight_decay: float = 0.01,
     global_clip_norm: float = 1.0,
+    state_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """BertAdam + driver-level global grad clip, with UniVL param groups.
 
@@ -184,5 +202,6 @@ def make_univl_optimizer(
             max_grad_norm=1.0,
             decay_mask=univl_decay_mask,
             lr_scale=lambda p: univl_lr_scale(p, coef_lr),
+            state_dtype=state_dtype,
         ),
     )
