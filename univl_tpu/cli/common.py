@@ -299,8 +299,13 @@ def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
     return cfg.validate()
 
 
-def load_init_params(args, model, example_batch, logger):
-    """Initialize params; overlay --init_model (torch .bin or msgpack)."""
+def load_init_params(args, model, example_batch, logger, template_params=None):
+    """Initialize params; overlay --init_model (torch .bin or msgpack).
+
+    ``template_params``: use this pre-built tree instead of model.init —
+    callers that exercise methods __call__ doesn't reach (e.g. the serving
+    driver's similarity head) pass a union template so checkpoint leaves
+    for those heads aren't dropped."""
     import jax
 
     from univl_tpu.checkpoint.io import restore_checkpoint
@@ -310,10 +315,13 @@ def load_init_params(args, model, example_batch, logger):
         merge_params,
     )
 
-    variables = jax.jit(lambda r: model.init(r, example_batch, deterministic=True))(
-        jax.random.key(args.seed)
-    )
-    params = variables["params"]
+    if template_params is not None:
+        params = template_params
+    else:
+        variables = jax.jit(
+            lambda r: model.init(r, example_batch, deterministic=True)
+        )(jax.random.key(args.seed))
+        params = variables["params"]
     if args.init_model:
         if ".msgpack" in os.path.basename(args.init_model):
             params, _, missing = restore_checkpoint(
