@@ -102,3 +102,24 @@ def test_sharded_caption_generation_matches_single(setup, tmp_path):
                         sharded["am"], sharded["vm"])
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("max_len", [20, 32, 33, 48, 70])
+def test_bucketed_cache_parity_at_boundaries(setup, max_len):
+    """The bucketed-cache fast decoder must match the fixed-cache full-prefix
+    beam at every max_len around the 32/64 bucket boundaries (buckets:
+    20 -> [20]; 32 -> [32]; 33 -> [32,33]; 48 -> [32,48]; 70 -> [32,64,70])."""
+    from univl_tpu.evals.beam import _cache_buckets
+
+    cfg, model, params, batch, seq, vis, cross_out, concat_mask = setup
+    assert _cache_buckets(33) == [32, 33]
+    assert _cache_buckets(70) == [32, 64, 70]
+    assert _cache_buckets(20) == [20]
+
+    slow = make_beam_decode_fn(model, 3, max_len, bos_id=1, eos_id=2)
+    fast = make_fast_beam_decode_fn(model, 3, max_len, bos_id=1, eos_id=2)
+    args = (params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    ts, ss = slow(*args)
+    tf, sf = fast(*args)
+    np.testing.assert_array_equal(np.asarray(ts), np.asarray(tf))
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(sf), atol=1e-4)

@@ -14,9 +14,9 @@ from univl_tpu.train.trainer import Trainer
 from test_model import make_batch
 
 
-def global_batch(cfg, rng, n_dev, accum=1):
+def global_batch(cfg, rng, n_dev, accum=1, **mk):
     """[accum, n_dev * B_local, ...] batch."""
-    per = make_batch(cfg, rng)
+    per = make_batch(cfg, rng, **mk)
     out = {}
     for k, v in per.items():
         tiled = jnp.concatenate([v] * n_dev, axis=0)
@@ -116,3 +116,28 @@ def test_remat_matches_no_remat(rng):
     # and gradients flow through the remat path
     g = jax.grad(lambda pp: m2.apply(pp, batch, deterministic=True)["loss"])(p)
     assert np.isfinite(np.asarray(jax.tree.leaves(g)[0])).all()
+
+
+def test_stage_two_pretrain_step_on_mesh(rng):
+    """All-five-objectives pretrain step runs sharded over the 8-device mesh
+    and every sub-loss stays finite and positive at init."""
+    n_dev = len(jax.devices())
+    cfg = UniVLConfig.tiny(stage_two=True, do_pretrain=True, use_mil=True)
+    mesh = make_mesh()
+    model = UniVL(cfg)
+    tx = make_univl_optimizer(lr=1e-3, t_total=50, warmup_proportion=0.02)
+    trainer = Trainer(model, tx, mesh, grad_accum_steps=2)
+
+    per = make_batch(cfg, rng, with_caption=True, with_pretrain=True)
+    state = trainer.init_state(jax.random.key(0), per)
+    batch = trainer.shard_batch(
+        global_batch(cfg, rng, n_dev, accum=2, with_caption=True,
+                     with_pretrain=True)
+    )
+    losses = []
+    for i in range(4):
+        state, metrics = trainer.train_step(state, batch, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, v)
+    assert losses[-1] < losses[0], losses
