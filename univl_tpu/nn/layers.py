@@ -129,9 +129,10 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.1
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
-    # False: XLA; True: fused Pallas kernel; "auto": Pallas only at shapes
-    # where it measured faster (B*Lk >= 16384, i.e. pretrain-scale eval
-    # batches; at finetune shapes XLA wins — docs/PERF.md).
+    # False: XLA; True: fused Pallas kernel; "auto": Pallas only in its
+    # measured-winning regime — large batch AND short key length
+    # (B*Lk >= 16384 and Lk <= 64; at longer Lk or small batch XLA's fused
+    # attention wins end-to-end — docs/PERF.md).
     use_pallas: object = False
 
     @nn.compact
@@ -157,7 +158,8 @@ class MultiHeadAttention(nn.Module):
 
         impl = self.use_pallas
         if impl == "auto":
-            impl = q.shape[0] * k.shape[2] >= 16384  # pallas-winning regime
+            # measured-winning regime only (docs/PERF.md)
+            impl = q.shape[0] * k.shape[2] >= 16384 and k.shape[2] <= 64
         use_fused = (
             bool(impl)
             and deterministic  # fused kernel has no attention-prob dropout
