@@ -101,10 +101,12 @@ def test_determinism_same_seed(rng):
     assert run() == run()
 
 
-def test_remat_matches_no_remat(rng):
-    """jax.checkpoint on encoder layers must not change the forward value."""
+@pytest.mark.parametrize("remat", [True, "dots"])
+def test_remat_matches_no_remat(rng, remat):
+    """jax.checkpoint on encoder layers (full or dots policy) must not
+    change the forward value."""
     cfg = UniVLConfig.tiny()
-    cfg_r = cfg.replace(remat=True)
+    cfg_r = cfg.replace(remat=remat)
     batch = make_batch(cfg, rng)
     m1, m2 = UniVL(cfg), UniVL(cfg_r)
     p = m1.init(jax.random.key(0), batch, deterministic=True)

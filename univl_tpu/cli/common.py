@@ -153,6 +153,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="attention impl; auto = Pallas only at shapes where "
                         "it measured faster (overrides --use_pallas)")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat_policy", type=str, default="full",
+                   choices=["full", "dots"],
+                   help="with --remat: full layer, or save matmul outputs "
+                        "and recompute elementwise only (less memory saved, "
+                        "less recompute)")
     p.add_argument("--scan_layers", action="store_true",
                    help="roll tower layers into one nn.scan: much faster "
                         "trace+compile, identical math; checkpoints convert "
@@ -263,7 +268,10 @@ def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
             if getattr(args, "attention", None)
             else (on_tpu and args.use_pallas)
         ),
-        remat=args.remat,
+        remat=(
+            ("dots" if getattr(args, "remat_policy", "full") == "dots" else True)
+            if args.remat else False
+        ),
         scan_layers=args.scan_layers,
     )
     # JSON configs replace the defaults, then CLI layer counts re-apply

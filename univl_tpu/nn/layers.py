@@ -284,7 +284,10 @@ class TransformerStack(nn.Module):
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
     use_pallas: object = False  # False | True | "auto"
-    remat: bool = False
+    # remat: False | True (full layer) | "dots" (save matmul outputs,
+    # recompute elementwise — cheaper than full; helps HBM-bound configs
+    # like FT-Align where the saved GELU activations dominate traffic)
+    remat: object = False
     scan_layers: bool = False
 
     @nn.compact
@@ -292,7 +295,12 @@ class TransformerStack(nn.Module):
         self, x: jax.Array, bias: jax.Array, deterministic: bool = True
     ) -> jax.Array:
         layer_cls = TransformerLayer
-        if self.remat:
+        if self.remat == "dots":
+            layer_cls = nn.remat(
+                TransformerLayer, static_argnums=(3,),
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif self.remat:
             layer_cls = nn.remat(TransformerLayer, static_argnums=(3,))
         kw = dict(
             hidden_size=self.hidden_size,
