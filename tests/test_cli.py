@@ -237,3 +237,33 @@ def test_metrics_jsonl_written(tmp_path, vocab, youcook):
     assert all(np.isfinite(r["loss"]) for r in train)
     ev = [r for r in records if r["kind"] == "eval"][0]
     assert "R1" in ev and 0.0 <= ev["R1"] <= 1.0
+
+
+def test_pretrain_preemption_save_and_resume(tmp_path, vocab):
+    """Simulated preemption (fault injection): checkpoint mid-run, exit
+    cleanly, resume restarts the interrupted epoch."""
+    import json as _json
+
+    from univl_tpu.cli.pretrain import main
+
+    ht = str(tmp_path / "ht")
+    csv_path, data_path, feat_dir = fixtures.make_howto100m(
+        ht, n_videos=8, clips_per_video=4, video_dim=32, corrupt_last=False,
+    )
+    out = str(tmp_path / "pre")
+    argv = (
+        ["--do_pretrain", "--sampled_use_mil", "--n_pair", "2",
+         "--vocab_file", vocab, "--train_csv", csv_path,
+         "--data_path", data_path, "--features_path", feat_dir,
+         "--output_dir", out, "--min_time", "5.0"] + COMMON
+    )
+    argv[argv.index("--epochs") + 1] = "3"
+
+    state = main(argv + ["--inject_preempt_after", "2"])
+    steps_done = int(state.step)
+    assert steps_done == 2  # stopped right after the injected signal
+    meta = _json.load(open(os.path.join(out, "train_state.msgpack.json")))
+    assert meta["preempted"] is True
+
+    state2 = main(argv + ["--load_checkpoint"])
+    assert int(state2.step) > steps_done  # resumed and finished the run

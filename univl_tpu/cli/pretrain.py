@@ -37,6 +37,11 @@ def add_pretrain_args(p):
                         "keep-last-N policy (for long pretrains)")
     p.add_argument("--keep_checkpoints", type=int, default=3,
                    help="orbax backend: how many checkpoints to keep")
+    p.add_argument("--no_preempt_checkpoint", action="store_true",
+                   help="do NOT checkpoint-and-exit on SIGTERM (preemption)")
+    p.add_argument("--inject_preempt_after", type=int, default=0,
+                   help="fault injection: simulate a preemption signal after "
+                        "N steps (testing the SIGTERM save/resume path)")
     return p
 
 
@@ -112,8 +117,37 @@ def main(argv=None):
             global_step = int(meta["global_step"])
             logger.info("resumed from epoch %d, global_step %d", start_epoch, global_step)
 
+    # Preemption handling (no reference equivalent — the reference loses
+    # any mid-epoch progress on kill): SIGTERM sets a flag; the step loop
+    # saves a full train-state checkpoint and exits cleanly. Resume with
+    # --load_checkpoint restarts the interrupted epoch (deterministic
+    # batcher order). --inject_preempt_after N simulates the signal.
+    preempt = {"hit": False}
+    if not args.no_preempt_checkpoint:
+        import signal as _signal
+
+        def _on_term(signum, frame):
+            preempt["hit"] = True
+
+        try:
+            _signal.signal(_signal.SIGTERM, _on_term)
+        except ValueError:
+            pass  # not the main thread; injection still works
+
+    def _preempt_save(epoch):
+        # "epochs before `epoch` are complete" -> resume restarts this one
+        meta = {"epoch": epoch - 1, "global_step": global_step,
+                "preempted": True}
+        if manager is not None:
+            manager.save(global_step, state, metrics=meta)
+        else:
+            save_checkpoint(ckpt_path, state, metadata=meta)
+        logger.info("preempted at epoch %d step %d: checkpoint saved, exiting",
+                    epoch + 1, global_step)
+
     mw = common.MetricsWriter(args.output_dir)
     base_key = jax.random.key(args.seed)  # hoisted: ~3 ms host cost per key
+    steps_at_start = global_step
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         # device-side loss accumulation; host sync only at n_display
@@ -128,6 +162,17 @@ def main(argv=None):
             global_step += 1
             n_steps += 1
             loss_sum = metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
+            if (
+                args.inject_preempt_after
+                and global_step - steps_at_start >= args.inject_preempt_after
+            ):
+                preempt["hit"] = True
+            if preempt["hit"]:
+                _preempt_save(epoch)
+                mw.close()
+                if manager is not None:
+                    manager.close()
+                return state
             if global_step % args.n_display == 0:
                 sub = {k: round(float(v), 4) for k, v in metrics.items() if k != "loss"}
                 logger.info(
