@@ -145,6 +145,22 @@ class RetrievalEvaluator:
 
     # ------------------------------------------------------------ #
     def joint_sim_matrix(self, enc) -> np.ndarray:
+        """T x V similarity from pooled embeddings.
+
+        With a mesh, the matmul runs ON DEVICE with text rows sharded over
+        the dp axis and videos replicated — each device computes its
+        row-block of the matrix (the all-gather/tiled design from the
+        TPU-native plan; on one host-side matmul this only matters for
+        corpus-scale T x V)."""
+        if self.mesh is not None:
+            t = _pad_rows(
+                enc["text_emb"],
+                -(-enc["text_emb"].shape[0] // self._n_dev) * self._n_dev,
+            )
+            text = jax.device_put(jnp.asarray(t), self._shard_rows)
+            video = jax.device_put(jnp.asarray(enc["video_emb"]), self._repl)
+            sim = jax.jit(lambda a, b: a @ b.T)(text, video)
+            return np.asarray(sim)[: enc["text_emb"].shape[0]]
         return enc["text_emb"] @ enc["video_emb"].T
 
     def cross_sim_matrix(self, enc) -> np.ndarray:
