@@ -191,3 +191,18 @@ def test_index_mesh_sharded_matches_single(rng, tokenizer):
         np.testing.assert_allclose(
             [s for _, s in a], [s for _, s in b], atol=1e-5
         )
+
+
+def test_index_edge_cases(rng, tokenizer):
+    """Empty index, top_k exceeding the corpus, and single-frame clips."""
+    cfg, model, params = _model_and_params(tokenizer, rng)
+    idx = VideoRetrievalIndex(model, params, tokenizer, batch_size=4)
+
+    res = idx.search(["anything"], top_k=3)  # empty index
+    assert res == [[]]
+
+    idx.add(_videos(rng, 2, cfg.video_dim) + [rng.randn(1, cfg.video_dim).astype(np.float32)],
+            ids=["a", "b", "one_frame"])
+    res = idx.search(["anything"], top_k=10)  # top_k > corpus size
+    assert len(res[0]) == 3
+    assert {i for i, _ in res[0]} == {"a", "b", "one_frame"}
