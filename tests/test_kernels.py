@@ -60,6 +60,75 @@ def test_fused_attention_causal(rng):
     )
 
 
+@pytest.mark.parametrize("N", [256, 300])  # 300 exercises row padding
+def test_fused_ffn_matches_reference(rng, N):
+    from univl_tpu.kernels.ffn import ffn_reference, fused_ffn
+
+    H, F = 256, 512
+    x = jnp.asarray(rng.randn(N, H), jnp.float32)
+    w1 = jnp.asarray(rng.randn(H, F) * 0.02, jnp.float32)
+    b1 = jnp.asarray(rng.randn(F) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.randn(F, H) * 0.02, jnp.float32)
+    b2 = jnp.asarray(rng.randn(H) * 0.01, jnp.float32)
+
+    y = fused_ffn(x, w1, b1, w2, b2)
+    y_ref = ffn_reference(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(fused_ffn(*a)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(ffn_reference(*a)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gf, gr):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, rtol=2e-5, atol=2e-5
+        )
+
+
+def test_fused_ffn_layer_param_tree_and_output(rng, monkeypatch):
+    """use_fused_ffn=True keeps the exact param tree of the unfused layer
+    (checkpoint contract) and computes the same function."""
+    from univl_tpu.nn.layers import TransformerLayer, additive_mask_bias
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    kw = dict(hidden_size=128, num_heads=4, intermediate_size=256,
+              dropout_rate=0.0, attn_dropout_rate=0.0)
+    x = jnp.asarray(rng.randn(2, 8, 128), jnp.float32)
+    bias = additive_mask_bias(jnp.ones((2, 8), jnp.int32))
+
+    unfused = TransformerLayer(use_fused_ffn=False, **kw)
+    fused = TransformerLayer(use_fused_ffn=True, **kw)
+    p0 = unfused.init(jax.random.key(0), x, bias, True)
+    p1 = fused.init(jax.random.key(0), x, bias, True)
+    assert jax.tree.map(jnp.shape, p0) == jax.tree.map(jnp.shape, p1)
+
+    out0 = unfused.apply(p0, x, bias, True)
+    out1 = fused.apply(p0, x, bias, True)  # unfused params in the fused layer
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_ffn_auto_threshold(monkeypatch):
+    from univl_tpu.nn.layers import TransformerLayer
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    layer = TransformerLayer(
+        hidden_size=128, num_heads=4, intermediate_size=256, use_fused_ffn="auto"
+    )
+    assert not layer._fused_ffn_active(1024)
+    assert layer._fused_ffn_active(98304)
+    # non-gelu or misaligned dims never fuse
+    relu = TransformerLayer(
+        hidden_size=128, num_heads=4, intermediate_size=256,
+        hidden_act="relu", use_fused_ffn=True,
+    )
+    assert not relu._fused_ffn_active(98304)
+
+
 def test_bias_shim_fallback(rng):
     """Non-key-mask biases route to the XLA path."""
     from univl_tpu.kernels.attention import fused_attention

@@ -140,6 +140,12 @@ class UniVLConfig:
     # path), True = always Pallas, "auto" = Pallas only in its winning
     # regime (B*Lk >= 16384, deterministic mode).
     use_pallas: object = False
+    # Fused Pallas FFN (univl_tpu/kernels/ffn.py): keeps the [N, 3072] GELU
+    # activations in VMEM with a recompute backward. Wins only when the
+    # flattened row count is large (FT-Align pair-expanded cross tower /
+    # eval rescoring); False = XLA (default), True = always, "auto" = only
+    # at >= 16384 rows (docs/PERF.md).
+    use_fused_ffn: object = False
     remat: bool = False  # jax.checkpoint on encoder layers
     # Roll the tower layers into one nn.scan (stacked params, one traced
     # layer): cuts trace+compile time for deep towers at identical math.

@@ -71,8 +71,10 @@ class _YoucookBase:
         self.epoch = epoch
 
     def _rng(self, idx: int) -> np.random.RandomState:
+        # PCG64-backed legacy RandomState: identical API, ~12x cheaper
+        # per-sample construction than MT19937 seeding (docs/PERF.md)
         return np.random.RandomState(
-            (self.seed * 1_000_003 + self.epoch * 97 + idx) % (2**31 - 1)
+            np.random.PCG64((self.seed * 1_000_003 + self.epoch * 97 + idx) % (2**31 - 1))
         )
 
     def _video(self, vid: str, start: float, end: float, rng, with_mfm=True):

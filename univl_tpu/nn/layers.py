@@ -188,6 +188,30 @@ class MultiHeadAttention(nn.Module):
         return ctx.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
 
+class _LinearParams(nn.Module):
+    """Declares nn.Dense-compatible params without computing x @ W.
+
+    Used by the fused-FFN path so the param tree stays byte-identical to the
+    unfused path (checkpoint/layout contract, models/univl.py docstring)
+    while the matmul itself runs inside the Pallas kernel.
+    """
+
+    in_features: int
+    features: int
+    initializer_range: float = 0.02
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.normal(stddev=self.initializer_range),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
 class ResidualOutput(nn.Module):
     """dense -> dropout -> add residual -> LayerNorm (post-LN).
 
@@ -209,6 +233,43 @@ class ResidualOutput(nn.Module):
         return LayerNormTF(name="ln")(h + residual)
 
 
+class FusedFFNOutput(nn.Module):
+    """Fused-FFN replacement for the (intermediate dense -> GELU ->
+    ResidualOutput) pair. Declares the same param tree as ResidualOutput
+    (``dense``, ``ln``) so checkpoints are interchangeable with the unfused
+    path; the two matmuls + GELU run inside one Pallas kernel
+    (kernels/ffn.py) and the [N, intermediate] activation never exists in
+    HBM."""
+
+    in_features: int  # intermediate size
+    features: int  # hidden size
+    dropout_rate: float = 0.1
+    initializer_range: float = 0.02
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, L, H] FFN input (attention block output)
+        k1: jax.Array,
+        b1: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        from univl_tpu.kernels.ffn import fused_ffn
+
+        k2, b2 = _LinearParams(
+            self.in_features, self.features, self.initializer_range, name="dense"
+        )()
+        dt = self.dtype
+        b, l, h = x.shape
+        y = fused_ffn(
+            x.reshape(-1, h).astype(dt),
+            k1.astype(dt), b1.astype(dt), k2.astype(dt), b2.astype(dt),
+        ).reshape(b, l, h)
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return LayerNormTF(name="ln")(y + x)
+
+
 class TransformerLayer(nn.Module):
     """Post-LN encoder block: self-attn + FFN (reference: module_bert.py:253-264)."""
 
@@ -221,9 +282,26 @@ class TransformerLayer(nn.Module):
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
     use_pallas: object = False  # False | True | "auto"
+    # False | True | "auto": route dense -> GELU -> dense through the fused
+    # Pallas kernel (kernels/ffn.py). "auto" fuses only when the flattened
+    # row count is large enough for the [N, intermediate] activations to
+    # dominate HBM traffic (the FT-Align / rescoring regime; docs/PERF.md).
+    use_fused_ffn: object = False
     # When used as an nn.scan body, __call__ must return (carry, per-step
     # output); the layer then returns (x, None) instead of x.
     scan_form: bool = False
+
+    def _fused_ffn_active(self, rows: int) -> bool:
+        impl = self.use_fused_ffn
+        if impl == "auto":
+            impl = rows >= 16384
+        return (
+            bool(impl)
+            and self.hidden_act == "gelu"
+            and self.hidden_size % 128 == 0
+            and self.intermediate_size % 128 == 0
+            and jax.default_backend() == "tpu"
+        )
 
     @nn.compact
     def __call__(
@@ -246,17 +324,34 @@ class TransformerLayer(nn.Module):
             name="attention_output",
         )(attn, x, deterministic=deterministic)
 
-        inter = _dense(
-            self.intermediate_size, self.initializer_range, "intermediate", self.dtype
-        )(attn_out)
-        inter = ACT2FN[self.hidden_act](inter)
-        out = ResidualOutput(
-            self.hidden_size,
-            self.dropout_rate,
-            self.initializer_range,
-            self.dtype,
-            name="output",
-        )(inter, attn_out, deterministic=deterministic)
+        if self._fused_ffn_active(attn_out.shape[0] * attn_out.shape[1]):
+            k1, b1 = _LinearParams(
+                self.hidden_size,
+                self.intermediate_size,
+                self.initializer_range,
+                name="intermediate",
+            )()
+            out = FusedFFNOutput(
+                self.intermediate_size,
+                self.hidden_size,
+                self.dropout_rate,
+                self.initializer_range,
+                self.dtype,
+                name="output",
+            )(attn_out, k1, b1, deterministic=deterministic)
+        else:
+            inter = _dense(
+                self.intermediate_size, self.initializer_range, "intermediate",
+                self.dtype,
+            )(attn_out)
+            inter = ACT2FN[self.hidden_act](inter)
+            out = ResidualOutput(
+                self.hidden_size,
+                self.dropout_rate,
+                self.initializer_range,
+                self.dtype,
+                name="output",
+            )(inter, attn_out, deterministic=deterministic)
         if self.scan_form:
             return out, None
         return out
@@ -284,6 +379,7 @@ class TransformerStack(nn.Module):
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
     use_pallas: object = False  # False | True | "auto"
+    use_fused_ffn: object = False  # False | True | "auto"
     # remat: False | True (full layer) | "dots" (save matmul outputs,
     # recompute elementwise — cheaper than full; helps HBM-bound configs
     # like FT-Align where the saved GELU activations dominate traffic)
@@ -312,6 +408,7 @@ class TransformerStack(nn.Module):
             initializer_range=self.initializer_range,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            use_fused_ffn=self.use_fused_ffn,
         )
         if self.scan_layers:
             scanned = nn.scan(
