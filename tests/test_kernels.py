@@ -129,6 +129,74 @@ def test_fused_ffn_auto_threshold(monkeypatch):
     assert not relu._fused_ffn_active(98304)
 
 
+@pytest.mark.parametrize("B", [4, 11])  # 11 exercises batch-block padding
+def test_fused_train_attention_rate0_matches_xla(rng, B):
+    """rate=0 pins the train-attention kernel (fwd + custom VJP) against the
+    XLA path. The dropout path needs the hardware PRNG (interpret mode
+    returns zero bits) and is validated on TPU (docs/PERF.md)."""
+    from univl_tpu.kernels.train_attention import fused_train_attention
+
+    H, L, D = 3, 16, 8
+    q = jnp.asarray(rng.randn(B, H, L, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, L, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, L, D), jnp.float32)
+    mask = (rng.rand(B, L) > 0.3).astype(np.int32)
+    bias = additive_mask_bias(jnp.asarray(mask))
+    seed = jnp.int32(42)
+
+    o = fused_train_attention(q, k, v, jnp.asarray(mask), seed, 0.0)
+    oe = sdpa_xla(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(oe), rtol=2e-5, atol=2e-5)
+
+    def lf(q, k, v):
+        return jnp.sum(
+            jnp.cos(fused_train_attention(q, k, v, jnp.asarray(mask), seed, 0.0))
+        )
+
+    def le(q, k, v):
+        return jnp.sum(jnp.cos(sdpa_xla(q, k, v, bias)))
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    ge = jax.grad(le, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+def test_train_attention_layer_wiring(rng, monkeypatch):
+    """use_train_pallas routes training mode through the kernel and keeps
+    eval mode on the XLA path; param tree unchanged."""
+    from univl_tpu.nn.layers import TransformerLayer, additive_mask_bias
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    kw = dict(hidden_size=64, num_heads=4, intermediate_size=128,
+              dropout_rate=0.0, attn_dropout_rate=0.0)
+    x = jnp.asarray(rng.randn(2, 8, 64), jnp.float32)
+    bias = additive_mask_bias(jnp.ones((2, 8), jnp.int32))
+
+    plain = TransformerLayer(use_train_pallas=False, **kw)
+    routed = TransformerLayer(use_train_pallas=True, **kw)
+    p = plain.init(jax.random.key(0), x, bias, True)
+    assert jax.tree.map(jnp.shape, p) == jax.tree.map(
+        jnp.shape, routed.init(jax.random.key(0), x, bias, True)
+    )
+    # rate 0 + deterministic rngs: kernel path equals XLA path
+    out_plain = plain.apply(
+        p, x, bias, False, rngs={"dropout": jax.random.key(1)}
+    )
+    out_routed = routed.apply(
+        p, x, bias, False, rngs={"dropout": jax.random.key(1)}
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_routed), rtol=2e-5, atol=2e-5
+    )
+    # eval mode ignores the knob entirely
+    np.testing.assert_allclose(
+        np.asarray(plain.apply(p, x, bias, True)),
+        np.asarray(routed.apply(p, x, bias, True)),
+        rtol=0, atol=0,
+    )
+
+
 def test_bias_shim_fallback(rng):
     """Non-key-mask biases route to the XLA path."""
     from univl_tpu.kernels.attention import fused_attention

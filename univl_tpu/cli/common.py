@@ -152,6 +152,18 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    choices=["xla", "pallas", "auto"],
                    help="attention impl; auto = Pallas only at shapes where "
                         "it measured faster (overrides --use_pallas)")
+    p.add_argument("--train_attention", type=str, default="xla",
+                   choices=["xla", "pallas", "auto"],
+                   help="TRAINING-mode attention impl: pallas = fused kernel "
+                        "with in-kernel prob dropout + recompute backward "
+                        "(+18%% on FT-Align); auto = only at B*Lk >= 16384; "
+                        "dropout bits use the TPU PRNG, not the jax.random "
+                        "stream (docs/PERF.md)")
+    p.add_argument("--fused_ffn", type=str, default="xla",
+                   choices=["xla", "pallas", "auto"],
+                   help="FFN impl: pallas = fused dense->GELU->dense kernel "
+                        "(wins at FT-Align/rescoring row counts); auto = "
+                        "only at >= 16384 rows (docs/PERF.md)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_policy", type=str, default="full",
                    choices=["full", "dots"],
@@ -267,6 +279,16 @@ def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
             {"xla": False, "pallas": True, "auto": "auto"}[args.attention]
             if getattr(args, "attention", None)
             else (on_tpu and args.use_pallas)
+        ),
+        use_train_pallas=(
+            {"xla": False, "pallas": True, "auto": "auto"}[
+                getattr(args, "train_attention", "xla")]
+            if on_tpu else False
+        ),
+        use_fused_ffn=(
+            {"xla": False, "pallas": True, "auto": "auto"}[
+                getattr(args, "fused_ffn", "xla")]
+            if on_tpu else False
         ),
         remat=(
             ("dots" if getattr(args, "remat_policy", "full") == "dots" else True)

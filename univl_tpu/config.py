@@ -140,6 +140,12 @@ class UniVLConfig:
     # path), True = always Pallas, "auto" = Pallas only in its winning
     # regime (B*Lk >= 16384, deterministic mode).
     use_pallas: object = False
+    # Training-mode fused attention (kernels/train_attention.py): custom VJP
+    # + in-kernel prob dropout; kills the fp32 [B,H,L,L] score/prob/mask HBM
+    # round-trips. "auto" = only at B*Lk >= 16384 (FT-Align's pair-expanded
+    # cross tower). Dropout bits come from the TPU PRNG — same Bernoulli
+    # distribution, different stream than the XLA path (docs/PERF.md).
+    use_train_pallas: object = False
     # Fused Pallas FFN (univl_tpu/kernels/ffn.py): keeps the [N, 3072] GELU
     # activations in VMEM with a recompute backward. Wins only when the
     # flattened row count is large (FT-Align pair-expanded cross tower /

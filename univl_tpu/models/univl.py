@@ -142,6 +142,7 @@ class UniVL(nn.Module):
         kw = dict(
             dtype=dtype,
             use_pallas=c.use_pallas,
+            use_train_pallas=c.use_train_pallas,
             use_fused_ffn=c.use_fused_ffn,
             remat=c.remat,
             scan_layers=c.scan_layers,

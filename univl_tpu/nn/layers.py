@@ -134,6 +134,11 @@ class MultiHeadAttention(nn.Module):
     # (B*Lk >= 16384 and Lk <= 64; at longer Lk or small batch XLA's fused
     # attention wins end-to-end — docs/PERF.md).
     use_pallas: object = False
+    # Training-mode fused attention (kernels/train_attention.py): custom VJP
+    # with in-kernel prob dropout; the [B,H,Lq,Lk] fp32 scores/probs and the
+    # u32 dropout bits never exist in HBM. "auto" = only at B*Lk >= 16384
+    # (the pair-expanded FT-Align regime where that traffic dominates).
+    use_train_pallas: object = False
 
     @nn.compact
     def __call__(
@@ -155,6 +160,30 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(b, l, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
+
+        key_mask_bias = bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
+
+        train_impl = self.use_train_pallas
+        if train_impl == "auto":
+            train_impl = q.shape[0] * k.shape[2] >= 16384
+        if (
+            bool(train_impl)
+            and not deterministic
+            and key_mask_bias
+            and jax.default_backend() == "tpu"
+        ):
+            from univl_tpu.kernels.train_attention import fused_train_attention
+
+            rng = self.make_rng("dropout")
+            seed = jax.random.randint(
+                rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            key_mask = (bias[:, 0, 0, :] >= -1.0).astype(jnp.float32)
+            ctx = fused_train_attention(
+                q, k, v, key_mask, seed, float(self.dropout_rate)
+            )
+            b, h, l, d = ctx.shape
+            return ctx.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
         impl = self.use_pallas
         if impl == "auto":
@@ -282,6 +311,7 @@ class TransformerLayer(nn.Module):
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
     use_pallas: object = False  # False | True | "auto"
+    use_train_pallas: object = False  # False | True | "auto" (training attn)
     # False | True | "auto": route dense -> GELU -> dense through the fused
     # Pallas kernel (kernels/ffn.py). "auto" fuses only when the flattened
     # row count is large enough for the [N, intermediate] activations to
@@ -314,6 +344,7 @@ class TransformerLayer(nn.Module):
             initializer_range=self.initializer_range,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            use_train_pallas=self.use_train_pallas,
             name="attention",
         )(x, None, bias, deterministic=deterministic)
         attn_out = ResidualOutput(
@@ -379,6 +410,7 @@ class TransformerStack(nn.Module):
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
     use_pallas: object = False  # False | True | "auto"
+    use_train_pallas: object = False  # False | True | "auto"
     use_fused_ffn: object = False  # False | True | "auto"
     # remat: False | True (full layer) | "dots" (save matmul outputs,
     # recompute elementwise — cheaper than full; helps HBM-bound configs
@@ -408,6 +440,7 @@ class TransformerStack(nn.Module):
             initializer_range=self.initializer_range,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            use_train_pallas=self.use_train_pallas,
             use_fused_ffn=self.use_fused_ffn,
         )
         if self.scan_layers:

@@ -29,7 +29,7 @@ from univl_tpu.nn.layers import (
 
 
 def _stack(cfg, dtype, use_pallas, remat, scan_layers=False, num_layers=None,
-           use_fused_ffn=False):
+           use_fused_ffn=False, use_train_pallas=False):
     return TransformerStack(
         num_layers=num_layers if num_layers is not None else cfg.num_hidden_layers,
         hidden_size=cfg.hidden_size,
@@ -41,6 +41,7 @@ def _stack(cfg, dtype, use_pallas, remat, scan_layers=False, num_layers=None,
         initializer_range=cfg.initializer_range,
         dtype=dtype,
         use_pallas=use_pallas,
+        use_train_pallas=use_train_pallas,
         use_fused_ffn=use_fused_ffn,
         remat=remat,
         scan_layers=scan_layers,
@@ -60,6 +61,7 @@ class TextEncoder(nn.Module):
     pos_embed: nn.Module  # shared nn.Embed, owned by UniVL
     dtype: jnp.dtype = jnp.float32
     use_pallas: object = False  # False | True | "auto"
+    use_train_pallas: object = False  # False | True | "auto"
     use_fused_ffn: object = False  # False | True | "auto"
     remat: bool = False
     scan_layers: bool = False
@@ -92,7 +94,8 @@ class TextEncoder(nn.Module):
         x = x.astype(self.dtype)
         bias = additive_mask_bias(attention_mask)
         return _stack(cfg, self.dtype, self.use_pallas, self.remat, self.scan_layers,
-                      use_fused_ffn=self.use_fused_ffn)(
+                      use_fused_ffn=self.use_fused_ffn,
+                      use_train_pallas=self.use_train_pallas)(
             x, bias, deterministic
         )
 
@@ -145,6 +148,7 @@ class VisualEncoder(nn.Module):
     feature_proj: nn.Module
     dtype: jnp.dtype = jnp.float32
     use_pallas: object = False  # False | True | "auto"
+    use_train_pallas: object = False  # False | True | "auto"
     use_fused_ffn: object = False  # False | True | "auto"
     remat: bool = False
     scan_layers: bool = False
@@ -173,7 +177,8 @@ class VisualEncoder(nn.Module):
         x = x.astype(self.dtype)
         bias = additive_mask_bias(video_mask)
         return _stack(cfg, self.dtype, self.use_pallas, self.remat, self.scan_layers,
-                      use_fused_ffn=self.use_fused_ffn)(
+                      use_fused_ffn=self.use_fused_ffn,
+                      use_train_pallas=self.use_train_pallas)(
             x, bias, deterministic
         )
 
@@ -189,6 +194,7 @@ class CrossEncoder(nn.Module):
     cfg: CrossConfig
     dtype: jnp.dtype = jnp.float32
     use_pallas: object = False  # False | True | "auto"
+    use_train_pallas: object = False  # False | True | "auto"
     use_fused_ffn: object = False  # False | True | "auto"
     remat: bool = False
     scan_layers: bool = False
@@ -224,7 +230,8 @@ class CrossEncoder(nn.Module):
         x = x.astype(self.dtype)
         bias = additive_mask_bias(concat_mask)
         h = _stack(cfg, self.dtype, self.use_pallas, self.remat, self.scan_layers,
-                   use_fused_ffn=self.use_fused_ffn)(
+                   use_fused_ffn=self.use_fused_ffn,
+                      use_train_pallas=self.use_train_pallas)(
             x, bias, deterministic
         )
         pooled = Pooler(
