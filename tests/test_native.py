@@ -54,10 +54,55 @@ def test_native_matches_python(native_tok, python_tok):
         assert got == expect, (text, got, expect)
 
 
-def test_native_unicode_fallback(native_tok, python_tok):
-    # non-ASCII must fall back to the Python path and still be correct
-    for text in ["café olé", "添加洋葱 then stir", "naïve mix"]:
+def test_native_never_split_parity(native_tok, python_tok):
+    """Whitespace-delimited special tokens skip lowercasing/punct splitting
+    (BasicTokenizer.never_split). Regression: the native path used to split
+    '[SEP]' into '[', 'sep', ']'."""
+    cases = [
+        "hello [UNK] world",
+        "add [SEP] salt",
+        "[CLS] mix [MASK] stir [SEP]",
+        "a [MASK]!",        # attached punctuation -> NOT protected (both split)
+        "[SEP]x",           # not whitespace-delimited -> NOT protected
+        "[PAD] is not in never_split",
+        "x\t[SEP]\ny",
+    ]
+    for text in cases:
+        assert native_tok.tokenize(text) == python_tok.tokenize(text), text
+
+
+def test_native_unicode_parity(native_tok, python_tok):
+    """The native path handles full UTF-8 (lowercase, NFD accent stripping,
+    CJK spacing, unicode punctuation) identically to the Python path."""
+    cases = [
+        "café olé", "添加洋葱 then stir", "naïve mix", "ÜBER Äpfel",
+        "İstanbul", "ЖИЗНЬ хорошо", "crème brûlée!", "ñoño 한국어",
+        "ＦＵＬＬＷＩＤＴＨ text", "[SEP] café [UNK]", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢",
+        "em—dash and … ellipsis", "«guillemets»",
+    ]
+    for text in cases:
+        assert native_tok.tokenize(text) == python_tok.tokenize(text), text
+
+
+def test_native_unicode_fallback_paths(native_tok, python_tok):
+    """Cases the per-codepoint tables cannot express return None from the
+    native layer (the wrapper falls back) and stay correct end-to-end:
+    context-sensitive sigma lowercasing, codepoints beyond the table."""
+    cases = ["ΣΟΦΟΣ σοφος", "beyond \U00030001 table"]
+    for text in cases:
+        assert native_tok._native.tokenize_ids(text) is None
         assert native_tok.tokenize(text) == python_tok.tokenize(text)
+
+
+def test_native_random_unicode_fuzz(native_tok, python_tok, rng):
+    """Random codepoint soup: parity wherever the native path answers, no
+    crashes anywhere."""
+    for i in range(150):
+        n = rng.randint(1, 30)
+        hi = 0x110000 if i % 5 == 0 else 0x3000
+        cps = rng.randint(1, hi, n)
+        s = "".join(chr(c) for c in cps if not (0xD800 <= c <= 0xDFFF))
+        assert native_tok.tokenize(s) == python_tok.tokenize(s), ascii(s)
 
 
 def test_native_random_corpus(native_tok, python_tok, rng):
