@@ -43,7 +43,10 @@ def main():
     batch_per_dev = 32
     cfg = UniVLConfig.base(
         compute_dtype="bfloat16" if on_tpu else "float32",
-        use_pallas=False,  # XLA attention measured faster (docs/PERF.md)
+        use_pallas=False,  # eval-mode XLA attention measured faster (docs/PERF.md)
+        # training-mode fused attention (kernels/train_attention.py):
+        # measured ~3-4% on this config, +18% on FT-Align (docs/PERF.md)
+        use_train_pallas=on_tpu,
         batch_size_per_device=batch_per_dev,
     )
     model = UniVL(cfg)
