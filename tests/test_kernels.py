@@ -132,29 +132,37 @@ def test_fused_ffn_auto_threshold(monkeypatch):
 @pytest.mark.parametrize("B", [4, 11])  # 11 exercises batch-block padding
 def test_fused_train_attention_rate0_matches_xla(rng, B):
     """rate=0 pins the train-attention kernel (fwd + custom VJP) against the
-    XLA path. The dropout path needs the hardware PRNG (interpret mode
-    returns zero bits) and is validated on TPU (docs/PERF.md)."""
+    XLA path. The kernel takes/returns the DENSE [B, L, H*D] layout; the
+    oracle splits heads outside. The dropout path needs the hardware PRNG
+    (interpret mode returns zero bits) and is validated on TPU
+    (docs/PERF.md)."""
     from univl_tpu.kernels.train_attention import fused_train_attention
 
     H, L, D = 3, 16, 8
-    q = jnp.asarray(rng.randn(B, H, L, D), jnp.float32)
-    k = jnp.asarray(rng.randn(B, H, L, D), jnp.float32)
-    v = jnp.asarray(rng.randn(B, H, L, D), jnp.float32)
+    q = jnp.asarray(rng.randn(B, L, H * D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, L, H * D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, L, H * D), jnp.float32)
     mask = (rng.rand(B, L) > 0.3).astype(np.int32)
     bias = additive_mask_bias(jnp.asarray(mask))
     seed = jnp.int32(42)
 
-    o = fused_train_attention(q, k, v, jnp.asarray(mask), seed, 0.0)
-    oe = sdpa_xla(q, k, v, bias)
+    def split(x):
+        return x.reshape(B, L, H, D).transpose(0, 2, 1, 3)
+
+    def merge(x):
+        return x.transpose(0, 2, 1, 3).reshape(B, L, H * D)
+
+    o = fused_train_attention(q, k, v, jnp.asarray(mask), seed, 0.0, H)
+    oe = merge(sdpa_xla(split(q), split(k), split(v), bias))
     np.testing.assert_allclose(np.asarray(o), np.asarray(oe), rtol=2e-5, atol=2e-5)
 
     def lf(q, k, v):
         return jnp.sum(
-            jnp.cos(fused_train_attention(q, k, v, jnp.asarray(mask), seed, 0.0))
+            jnp.cos(fused_train_attention(q, k, v, jnp.asarray(mask), seed, 0.0, H))
         )
 
     def le(q, k, v):
-        return jnp.sum(jnp.cos(sdpa_xla(q, k, v, bias)))
+        return jnp.sum(jnp.cos(sdpa_xla(split(q), split(k), split(v), bias)))
 
     gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
     ge = jax.grad(le, argnums=(0, 1, 2))(q, k, v)

@@ -73,97 +73,103 @@ def _scores(q, k, key_mask, scale):
     return s * scale
 
 
+# The kernels take the DENSE [bb, L, H*D] projection layout and slice one
+# head at a time on the last dim (64-aligned strided slices — plain VMEM
+# slicing; Mosaic rejects the reshape+transpose "shape cast" form). The
+# HBM arrays never exist in [B,H,L,D] layout, so XLA inserts none of the
+# transpose copies that cost ~0.9 ms EACH at FT-Align scale (docs/PERF.md).
+
+
 def _attn_train_fwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref, *,
-    scale: float, rate: float,
+    scale: float, rate: float, heads: int,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bb, h, lq, d = q_ref.shape
-    lk = k_ref.shape[2]
-    q = q_ref[:].reshape(bb * h, lq, d)
-    k = k_ref[:].reshape(bb * h, lk, d)
-    v = v_ref[:].reshape(bb * h, lk, d)
-
-    s = _scores(q, k, None, scale)  # [bb*h, lq, lk] fp32
-    bias = (1.0 - mask_ref[:]) * -1e9  # [bb, lk]
-    s = s.reshape(bb, h, lq, lk) + bias[:, None, None, :]
-    s = s.reshape(bb * h, lq, lk)
-
-    p, m, l = _softmax_fwd(s)
-    m_ref[:] = m.reshape(bb, h, lq)
-    l_ref[:] = l.reshape(bb, h, lq)
+    bb, lq, hd = q_ref.shape
+    lk = k_ref.shape[1]
+    d = hd // heads
+    bias = ((1.0 - mask_ref[:]) * -1e9)[:, None, :]  # [bb, 1, lk]
 
     if rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        keep = _dropout_bits(p.shape, rate)
-        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
 
-    p = p.astype(v.dtype)
-    o = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
-    o_ref[:] = o.reshape(bb, h, lq, d)
+    for hh in range(heads):
+        q = q_ref[:, :, hh * d:(hh + 1) * d]  # [bb, lq, d]
+        k = k_ref[:, :, hh * d:(hh + 1) * d]
+        v = v_ref[:, :, hh * d:(hh + 1) * d]
+        s = _scores(q, k, None, scale) + bias  # [bb, lq, lk] fp32
+        p, m, l = _softmax_fwd(s)
+        m_ref[:, hh, :] = m[:, :, 0]
+        l_ref[:, hh, :] = l[:, :, 0]
+        if rate > 0.0:
+            keep = _dropout_bits(p.shape, rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+        o_ref[:, :, hh * d:(hh + 1) * d] = o
 
 
 def _attn_train_bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, mask_ref, m_ref, l_ref, g_ref,
-    dq_ref, dk_ref, dv_ref, *, scale: float, rate: float,
+    dq_ref, dk_ref, dv_ref, *, scale: float, rate: float, heads: int,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bb, h, lq, d = q_ref.shape
-    lk = k_ref.shape[2]
-    q = q_ref[:].reshape(bb * h, lq, d)
-    k = k_ref[:].reshape(bb * h, lk, d)
-    v = v_ref[:].reshape(bb * h, lk, d)
-    g = g_ref[:].reshape(bb * h, lq, d).astype(v.dtype)
-
-    s = _scores(q, k, None, scale)
-    bias = (1.0 - mask_ref[:]) * -1e9
-    s = s.reshape(bb, h, lq, lk) + bias[:, None, None, :]
-    s = s.reshape(bb * h, lq, lk)
-
-    # bit-identical recompute of the forward probs
-    m = m_ref[:].reshape(bb * h, lq, 1)
-    l = l_ref[:].reshape(bb * h, lq, 1)
-    e = jnp.exp(s - m)
-    p = e / l  # [bb*h, lq, lk] fp32
-
-    # dL/d(p_dropped) = g @ v^T
-    dpd = jax.lax.dot_general(
-        g, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
+    bb, lq, hd = q_ref.shape
+    lk = k_ref.shape[1]
+    d = hd // heads
+    bias = ((1.0 - mask_ref[:]) * -1e9)[:, None, :]  # [bb, 1, lk]
 
     if rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        keep = _dropout_bits(p.shape, rate)
-        inv = 1.0 / (1.0 - rate)
-        p_dropped = jnp.where(keep, p * inv, 0.0)
-        dp = jnp.where(keep, dpd * inv, 0.0)
-    else:
-        p_dropped = p
-        dp = dpd
 
-    # dv = p_dropped^T @ g
-    dv = jax.lax.dot_general(
-        p_dropped.astype(g.dtype), g, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    # softmax jacobian: ds = p * (dp - sum(dp * p, -1))
-    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(q.dtype)
-    dq = jax.lax.dot_general(
-        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale
-    dk = jax.lax.dot_general(
-        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale
+    # IMPORTANT: head order and per-head draw shapes match the forward
+    # kernel exactly, so the regenerated dropout bits are bit-identical.
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        g = g_ref[:, :, sl].astype(v.dtype)
 
-    dq_ref[:] = dq.astype(dq_ref.dtype).reshape(bb, h, lq, d)
-    dk_ref[:] = dk.astype(dk_ref.dtype).reshape(bb, h, lk, d)
-    dv_ref[:] = dv.astype(dv_ref.dtype).reshape(bb, h, lk, d)
+        s = _scores(q, k, None, scale) + bias
+        m = m_ref[:, hh, :][:, :, None]
+        l = l_ref[:, hh, :][:, :, None]
+        e = jnp.exp(s - m)
+        p = e / l  # [bb, lq, lk] fp32 — bit-identical to forward
+
+        dpd = jax.lax.dot_general(  # dL/d(p_dropped) = g @ v^T
+            g, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        if rate > 0.0:
+            keep = _dropout_bits(p.shape, rate)
+            inv = 1.0 / (1.0 - rate)
+            p_dropped = jnp.where(keep, p * inv, 0.0)
+            dp = jnp.where(keep, dpd * inv, 0.0)
+        else:
+            p_dropped = p
+            dp = dpd
+
+        dv = jax.lax.dot_general(  # p_dropped^T @ g
+            p_dropped.astype(g.dtype), g, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
 
 
 def _pad_batch(x, bb):
@@ -178,22 +184,24 @@ def _specs(bb, h, lq, lk, d, pl, pltpu):
         (bb,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
     )
     return {
-        "q": blk((h, lq, d)),
-        "k": blk((h, lk, d)),
-        "v": blk((h, lk, d)),
+        "q": blk((lq, h * d)),
+        "k": blk((lk, h * d)),
+        "v": blk((lk, h * d)),
         "mask": blk((lk,)),
-        "o": blk((h, lq, d)),
+        "o": blk((lq, h * d)),
         "stat": blk((h, lq)),
         "seed": pl.BlockSpec(memory_space=pltpu.SMEM),
     }
 
 
-def _fwd_call(q, k, v, key_mask, seed, rate: float, save_stats: bool):
+def _fwd_call(q, k, v, key_mask, seed, rate: float, heads: int,
+              save_stats: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
+    b, lq, hd = q.shape
+    h, d = heads, hd // heads
+    lk = k.shape[1]
     bb = min(BATCH_BLOCK, b)
     qp, kp, vp = (_pad_batch(x, bb) for x in (q, k, v))
     mp = _pad_batch(key_mask.astype(jnp.float32), bb)
@@ -203,12 +211,13 @@ def _fwd_call(q, k, v, key_mask, seed, rate: float, save_stats: bool):
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((bp, h, lq, d), q.dtype),
+        jax.ShapeDtypeStruct((bp, lq, h * d), q.dtype),
         jax.ShapeDtypeStruct((bp, h, lq), jnp.float32),
         jax.ShapeDtypeStruct((bp, h, lq), jnp.float32),
     )
     o, m, l = pl.pallas_call(
-        functools.partial(_attn_train_fwd_kernel, scale=scale, rate=rate),
+        functools.partial(_attn_train_fwd_kernel, scale=scale, rate=rate,
+                          heads=h),
         out_shape=out_shapes,
         grid=(bp // bb,),
         in_specs=[sp["seed"], sp["q"], sp["k"], sp["v"], sp["mask"]],
@@ -225,30 +234,32 @@ def _fwd_call(q, k, v, key_mask, seed, rate: float, save_stats: bool):
     return o[:b], None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_train_attention(q, k, v, key_mask, seed, rate):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_train_attention(q, k, v, key_mask, seed, rate, heads):
     """Attention with in-kernel prob dropout, differentiable.
 
-    q,k,v: [B,H,L,D] compute dtype; key_mask: [B,Lk] (1 keep / 0 drop);
-    seed: int32 scalar (traced ok); rate: static python float.
-    Returns [B,H,Lq,D].
+    q,k,v: [B, L, heads*head_dim] compute dtype — the dense-projection
+    layout, so no [B,H,L,D] transpose copies ever hit HBM (the head split
+    happens in VMEM); key_mask: [B,Lk] (1 keep / 0 drop); seed: int32
+    scalar (traced ok); rate, heads: static. Returns [B, Lq, heads*head_dim].
     """
-    o, _ = _fwd_call(q, k, v, key_mask, seed, rate, save_stats=False)
+    o, _ = _fwd_call(q, k, v, key_mask, seed, rate, heads, save_stats=False)
     return o
 
 
-def _ft_attn_fwd(q, k, v, key_mask, seed, rate):
-    o, (m, l) = _fwd_call(q, k, v, key_mask, seed, rate, save_stats=True)
+def _ft_attn_fwd(q, k, v, key_mask, seed, rate, heads):
+    o, (m, l) = _fwd_call(q, k, v, key_mask, seed, rate, heads, save_stats=True)
     return o, (q, k, v, key_mask, seed, m, l)
 
 
-def _ft_attn_bwd(rate, res, g):
+def _ft_attn_bwd(rate, heads, res, g):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     q, k, v, key_mask, seed, m, l = res
-    b, h, lq, d = q.shape
-    lk = k.shape[2]
+    b, lq, hd = q.shape
+    h, d = heads, hd // heads
+    lk = k.shape[1]
     bb = min(BATCH_BLOCK, b)
     qp, kp, vp, gp = (_pad_batch(x, bb) for x in (q, k, v, g.astype(q.dtype)))
     mp = _pad_batch(key_mask.astype(jnp.float32), bb)
@@ -258,11 +269,12 @@ def _ft_attn_bwd(rate, res, g):
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_train_bwd_kernel, scale=scale, rate=rate),
+        functools.partial(_attn_train_bwd_kernel, scale=scale, rate=rate,
+                          heads=h),
         out_shape=(
-            jax.ShapeDtypeStruct((bp, h, lq, d), q.dtype),
-            jax.ShapeDtypeStruct((bp, h, lk, d), k.dtype),
-            jax.ShapeDtypeStruct((bp, h, lk, d), v.dtype),
+            jax.ShapeDtypeStruct((bp, lq, h * d), q.dtype),
+            jax.ShapeDtypeStruct((bp, lk, h * d), k.dtype),
+            jax.ShapeDtypeStruct((bp, lk, h * d), v.dtype),
         ),
         grid=(bp // bb,),
         in_specs=[sp["seed"], sp["q"], sp["k"], sp["v"], sp["mask"],
