@@ -176,23 +176,42 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
             # Reorder the KV cache to follow the surviving beams. Done
             # instances keep their rows (identity permutation) — folding the
             # done-freeze into the permutation avoids a second full-cache
-            # where(). One-hot matmul beats gathers HERE: a leading-dim row
-            # gather microbenchmarks 2x faster in isolation but is 25% slower
-            # in this loop (it defeats XLA's in-place aliasing of the cache
-            # carry); measured 398 ms vs 494 ms per batch-16 decode.
+            # where().
             prev_k_eff = jnp.where(
                 done[:, None], jnp.arange(K)[None, :], prev_k
             )
-            perm = jax.nn.one_hot(prev_k_eff, K, dtype=cache_dtype)  # [B,Kn,Ko]
+            import os
 
-            def reorder(c):
-                cb = c.reshape(B, K, -1)
-                cb = jnp.einsum(
-                    "bnk,bkf->bnf", perm, cb.astype(cache_dtype)
+            if jax.default_backend() == "tpu" and not os.environ.get(
+                "UNIVL_TPU_NO_REORDER_KERNEL"
+            ):
+                # Pallas scalar-prefetch gather: every cache byte moves once
+                # in its native layout. The XLA alternatives both lose: a
+                # jnp row gather defeats the carry's in-place aliasing
+                # (494 ms vs 398 ms per batch-16 decode), and the one-hot
+                # einsum pays retiling copies around the [B,K,flat] reshape
+                # (~60% of decode device time, docs/PERF.md).
+                from univl_tpu.kernels.reorder import beam_reorder_rows
+
+                src = (
+                    jnp.arange(B, dtype=jnp.int32)[:, None] * K + prev_k_eff
+                ).reshape(B * K)
+                flat = [leaf for layer in new_cache for leaf in layer]
+                out = beam_reorder_rows(flat, src)
+                cache = tuple(
+                    (out[2 * i], out[2 * i + 1]) for i in range(len(new_cache))
                 )
-                return cb.reshape(c.shape)
+            else:
+                perm = jax.nn.one_hot(prev_k_eff, K, dtype=cache_dtype)  # [B,Kn,Ko]
 
-            cache = jax.tree.map(reorder, new_cache)
+                def reorder(c):
+                    cb = c.reshape(B, K, -1)
+                    cb = jnp.einsum(
+                        "bnk,bkf->bnf", perm, cb.astype(cache_dtype)
+                    )
+                    return cb.reshape(c.shape)
+
+                cache = jax.tree.map(reorder, new_cache)
 
             d3 = done[:, None, None]
             seqs = jnp.where(d3, seqs, new_seqs)
