@@ -205,6 +205,22 @@ def test_train_attention_layer_wiring(rng, monkeypatch):
     )
 
 
+def test_beam_reorder_rows(rng):
+    """Scalar-prefetch gather kernel: out[j][i] == arrays[j][src[i]],
+    duplicates and mixed shapes/dtypes included (the beam-search cache
+    reorder, kernels/reorder.py)."""
+    from univl_tpu.kernels.reorder import beam_reorder_rows
+
+    a = jnp.asarray(rng.randn(10, 3, 8, 16), jnp.float32)
+    b = jnp.asarray(rng.randn(10, 4, 32), jnp.bfloat16)
+    src = jnp.asarray([0, 0, 3, 9, 2, 2, 2, 1, 5, 7], jnp.int32)
+    oa, ob = beam_reorder_rows([a, b], src)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(a)[np.asarray(src)])
+    np.testing.assert_array_equal(
+        np.asarray(ob, np.float32), np.asarray(b, np.float32)[np.asarray(src)]
+    )
+
+
 def test_bias_shim_fallback(rng):
     """Non-key-mask biases route to the XLA path."""
     from univl_tpu.kernels.attention import fused_attention
