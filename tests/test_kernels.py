@@ -221,6 +221,23 @@ def test_beam_reorder_rows(rng):
     )
 
 
+def test_beam_reorder_groups_inplace(rng):
+    """Grouped in-place permute (donated buffers): rows move only within
+    K-sized groups; out[g*K+k] == in[g*K + prev_k[g*K+k]]."""
+    from univl_tpu.kernels.reorder import beam_reorder_groups_inplace
+
+    B, K = 4, 5
+    a = jnp.asarray(rng.randn(B * K, 3, 8, 16), jnp.float32)
+    b = jnp.asarray(rng.randn(B * K, 4, 32), jnp.bfloat16)
+    prev_k = rng.randint(0, K, B * K).astype(np.int32)
+    oa, ob = beam_reorder_groups_inplace([a, b], jnp.asarray(prev_k), K)
+    src = (np.arange(B * K) // K) * K + prev_k
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(a)[src])
+    np.testing.assert_array_equal(
+        np.asarray(ob, np.float32), np.asarray(b, np.float32)[src]
+    )
+
+
 def test_bias_shim_fallback(rng):
     """Non-key-mask biases route to the XLA path."""
     from univl_tpu.kernels.attention import fused_attention

@@ -185,19 +185,20 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
             if jax.default_backend() == "tpu" and not os.environ.get(
                 "UNIVL_TPU_NO_REORDER_KERNEL"
             ):
-                # Pallas scalar-prefetch gather: every cache byte moves once
-                # in its native layout. The XLA alternatives both lose: a
-                # jnp row gather defeats the carry's in-place aliasing
-                # (494 ms vs 398 ms per batch-16 decode), and the one-hot
-                # einsum pays retiling copies around the [B,K,flat] reshape
+                # Pallas grouped IN-PLACE permute (donated buffers): every
+                # cache byte moves once in its native layout AND the while
+                # carry keeps a stable buffer per array, so XLA inserts no
+                # round-trip copies. The XLA alternatives both lose: a jnp
+                # row gather defeats the carry's in-place aliasing (494 ms
+                # vs 398 ms per batch-16 decode), and the one-hot einsum
+                # pays retiling copies around the [B,K,flat] reshape
                 # (~60% of decode device time, docs/PERF.md).
-                from univl_tpu.kernels.reorder import beam_reorder_rows
+                from univl_tpu.kernels.reorder import beam_reorder_groups_inplace
 
-                src = (
-                    jnp.arange(B, dtype=jnp.int32)[:, None] * K + prev_k_eff
-                ).reshape(B * K)
                 flat = [leaf for layer in new_cache for leaf in layer]
-                out = beam_reorder_rows(flat, src)
+                out = beam_reorder_groups_inplace(
+                    flat, prev_k_eff.reshape(B * K), K
+                )
                 cache = tuple(
                     (out[2 * i], out[2 * i + 1]) for i in range(len(new_cache))
                 )

@@ -25,6 +25,74 @@ import jax
 import jax.numpy as jnp
 
 
+def beam_reorder_groups_inplace(
+    arrays: Sequence[jax.Array], prev_k: jax.Array, group: int
+) -> List[jax.Array]:
+    """In-place grouped permutation: rows permute only WITHIN consecutive
+    groups of ``group`` rows (beam search: group = beam width K, rows
+    [b*K, (b+1)*K) belong to instance b). Each grid program stages its
+    whole group through VMEM before writing, so the outputs can be DONATED
+    from the inputs (input_output_aliases) — inside a lax.while_loop the
+    carry keeps one stable buffer per cache array and XLA inserts no
+    round-trip copies (the non-aliased gather variant below cost ~30 ms of
+    while-carry copies per 128-step decode, docs/PERF.md).
+
+    prev_k: [N] int32, LOCAL source index within each row's group
+    (out[g*K + k] = in[g*K + prev_k[g*K + k]]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = prev_k.shape[0]
+    assert n % group == 0, (n, group)
+    k_arr = len(arrays)
+
+    def kern(idx_ref, *refs):
+        g = pl.program_id(0)
+        for a in range(k_arr):
+            i_ref, o_ref = refs[a], refs[k_arr + a]
+            # With donation the input and output blocks share one VMEM
+            # buffer: load EVERY source row into values before the first
+            # store, or later iterations read already-overwritten rows.
+            rows = [
+                i_ref[pl.ds(idx_ref[g * group + kk], 1)]
+                for kk in range(group)
+            ]
+            for kk in range(group):
+                o_ref[pl.ds(kk, 1)] = rows[kk]
+
+    def spec(a):
+        nd = a.ndim - 1
+        return pl.BlockSpec(
+            (group,) + a.shape[1:],
+            lambda i, idx_ref, _nd=nd: (i,) + (0,) * _nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // group,),
+        in_specs=[spec(a) for a in arrays],
+        out_specs=tuple(spec(a) for a in arrays),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays),
+        # operand i+1 (after the scalar-prefetch arg) donates to output i
+        input_output_aliases={i + 1: i for i in range(k_arr)},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=2 * sum(a.size * a.dtype.itemsize for a in arrays),
+            transcendentals=0,
+        ),
+    )(prev_k.astype(jnp.int32), *arrays)
+    return list(out)
+
+
 def beam_reorder_rows(arrays: Sequence[jax.Array], src: jax.Array) -> List[jax.Array]:
     """Gather rows: out[j][i] = arrays[j][src[i]] for every array.
 
