@@ -112,6 +112,23 @@ def test_fused_ffn_layer_param_tree_and_output(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), rtol=2e-5, atol=2e-5)
 
 
+def test_train_attention_rate0_needs_no_dropout_rng(rng, monkeypatch):
+    """With all dropout rates 0 the fused train path must not demand a
+    'dropout' rng (regression: unconditional make_rng crashed configs that
+    the XLA path accepted)."""
+    from univl_tpu.nn.layers import TransformerLayer, additive_mask_bias
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    layer = TransformerLayer(hidden_size=64, num_heads=4, intermediate_size=128,
+                             dropout_rate=0.0, attn_dropout_rate=0.0,
+                             use_train_pallas=True)
+    x = jnp.asarray(rng.randn(2, 8, 64), jnp.float32)
+    bias = additive_mask_bias(jnp.ones((2, 8), jnp.int32))
+    p = layer.init(jax.random.key(0), x, bias, True)
+    out = layer.apply(p, x, bias, False)  # deterministic=False, no rngs
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_fused_ffn_auto_threshold(monkeypatch):
     from univl_tpu.nn.layers import TransformerLayer
 

@@ -88,7 +88,8 @@ def test_native_unicode_fallback_paths(native_tok, python_tok):
     """Cases the per-codepoint tables cannot express return None from the
     native layer (the wrapper falls back) and stay correct end-to-end:
     context-sensitive sigma lowercasing, codepoints beyond the table."""
-    cases = ["ΣΟΦΟΣ σοφος", "beyond \U00030001 table"]
+    cases = ["ΣΟΦΟΣ σοφος", "beyond \U00030001 table",
+             "lone \ud800 surrogate"]  # unencodable -> must not crash
     for text in cases:
         assert native_tok._native.tokenize_ids(text) is None
         assert native_tok.tokenize(text) == python_tok.tokenize(text)

@@ -207,7 +207,10 @@ class NativeWordPiece:
             pass
 
     def tokenize_ids(self, text: str) -> Optional[List[int]]:
-        raw = text.encode("utf-8")
+        try:
+            raw = text.encode("utf-8")
+        except UnicodeEncodeError:  # lone surrogates etc. -> Python path
+            return None
         buf = getattr(self._tls, "buf", None)
         if buf is None:
             buf = (ctypes.c_int32 * self.MAX_TOKENS)()

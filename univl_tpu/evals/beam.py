@@ -18,6 +18,8 @@ TPU-native design differences (same results, different machinery):
 
 from __future__ import annotations
 
+import os
+
 from typing import Dict
 
 import numpy as np
@@ -132,6 +134,10 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
 
     K = beam_size
 
+    _use_reorder_kernel = jax.default_backend() == "tpu" and not os.environ.get(
+        "UNIVL_TPU_NO_REORDER_KERNEL"
+    )
+
     def decode(params, sequence_output, visual_output, attention_mask, video_mask):
         B = sequence_output.shape[0]
         V = model.cfg.decoder.vocab_size
@@ -180,11 +186,7 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
             prev_k_eff = jnp.where(
                 done[:, None], jnp.arange(K)[None, :], prev_k
             )
-            import os
-
-            if jax.default_backend() == "tpu" and not os.environ.get(
-                "UNIVL_TPU_NO_REORDER_KERNEL"
-            ):
+            if _use_reorder_kernel:
                 # Pallas grouped IN-PLACE permute (donated buffers): every
                 # cache byte moves once in its native layout AND the while
                 # carry keeps a stable buffer per array, so XLA inserts no

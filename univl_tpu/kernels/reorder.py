@@ -96,6 +96,11 @@ def beam_reorder_groups_inplace(
 def beam_reorder_rows(arrays: Sequence[jax.Array], src: jax.Array) -> List[jax.Array]:
     """Gather rows: out[j][i] = arrays[j][src[i]] for every array.
 
+    Kept deliberately as the measured baseline variant (and for arbitrary
+    cross-group gathers): the beam decoder itself uses
+    beam_reorder_groups_inplace, whose donated buffers avoid ~30 ms of
+    while-carry copies per 128-step decode (docs/PERF.md).
+
     arrays: same leading dim N, arbitrary (equal-rank not required) trailing
     dims; src: [N] int32 source-row indices (duplicates allowed — beam
     search routinely replicates rows).

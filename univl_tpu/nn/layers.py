@@ -168,10 +168,13 @@ class MultiHeadAttention(nn.Module):
         ):
             from univl_tpu.kernels.train_attention import fused_train_attention
 
-            rng = self.make_rng("dropout")
-            seed = jax.random.randint(
-                rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
-            )
+            if self.dropout_rate > 0.0:
+                rng = self.make_rng("dropout")
+                seed = jax.random.randint(
+                    rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                )
+            else:  # rate 0 draws no bits; don't demand a 'dropout' rng
+                seed = jnp.int32(0)
             key_mask = (bias[:, 0, 0, :] >= -1.0).astype(jnp.float32)
             # dense layout in/out: the [B,L,H,D] head-split transposes never
             # materialize in HBM (they cost ~0.9 ms EACH at FT-Align scale)
