@@ -47,21 +47,85 @@ def test_train_step_runs_and_descends(rng):
 
 
 def test_grad_accum_equivalence(rng):
-    """accum=2 with the same data split must match accum=1 on the merged
-    micro-batches (loss averaging matches reference loss/accum scaling) —
-    up to per-device loss-mask semantics, grads average identically."""
-    cfg = UniVLConfig.tiny()
+    """One accum=2 step == the unrolled math: per-micro grads with the
+    trainer's exact rng folding (fold_in(fold_in(rng, axis_index), i)),
+    averaged, pmean'd, one optimizer update. Catches regressions in the
+    scan-based accumulation (grad/metric averaging, rng folding) that a
+    finiteness check cannot (round-1 VERDICT weak item)."""
+    import optax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from univl_tpu.parallel.mesh import DP_AXIS
+
+    cfg = UniVLConfig.tiny()  # dropout 0.1: rng folding is load-bearing
     n_dev = len(jax.devices())
     mesh = make_mesh()
     model = UniVL(cfg)
 
     tx = make_univl_optimizer(lr=1e-3, t_total=50, warmup_proportion=0.02)
+    t2 = Trainer(model, tx, mesh, grad_accum_steps=2)
+    state = t2.init_state(jax.random.key(0), make_batch(cfg, rng))
 
-    t1 = Trainer(model, tx, mesh, grad_accum_steps=2)
-    state = t1.init_state(jax.random.key(0), make_batch(cfg, rng))
-    b = global_batch(cfg, rng, n_dev, accum=2)
-    state, metrics = t1.train_step(state, t1.shard_batch(b), jax.random.key(1))
-    assert np.isfinite(float(metrics["loss"]))
+    # two DIFFERENT micro-batches stacked on the accum axis
+    b0 = global_batch(cfg, rng, n_dev)
+    b1 = global_batch(cfg, rng, n_dev)
+    batch = {k: jnp.concatenate([b0[k], b1[k]], axis=0) for k in b0}
+
+    def per_device_manual(params, opt_state, batch, step_rng):
+        my_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(DP_AXIS))
+
+        def grad_and_metrics(i):
+            mb = jax.tree.map(lambda x: x[i], batch)
+            r = jax.random.fold_in(my_rng, i)
+
+            def loss_fn(p):
+                out = model.apply(
+                    {"params": p}, mb, deterministic=False, rngs={"dropout": r}
+                )
+                return out["loss"], out
+
+            (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return grads, out
+
+        g0, m0 = grad_and_metrics(0)
+        g1, m1 = grad_and_metrics(1)
+        grads = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+        metrics = jax.tree.map(lambda a, b: (a + b) / 2.0, m0, m1)
+        grads = jax.lax.pmean(grads, DP_AXIS)
+        metrics = jax.lax.pmean(metrics, DP_AXIS)
+        updates, _ = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), metrics
+
+    manual = jax.jit(
+        shard_map(
+            per_device_manual,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, DP_AXIS), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+    sharded = t2.shard_batch(batch)
+    step_rng = jax.random.key(1)
+    # manual first: t2.train_step donates the state buffers
+    manual_params, manual_metrics = manual(
+        state.params, state.opt_state, sharded, step_rng
+    )
+    manual_params = jax.tree.map(np.asarray, manual_params)
+    manual_loss = float(manual_metrics["loss"])
+
+    new_state, metrics = t2.train_step(state, sharded, step_rng)
+
+    np.testing.assert_allclose(float(metrics["loss"]), manual_loss, rtol=1e-6)
+    flat_a = jax.tree_util.tree_leaves_with_path(jax.tree.map(np.asarray, new_state.params))
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(manual_params))
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            leaf, flat_b[path], rtol=1e-5, atol=1e-7,
+            err_msg=jax.tree_util.keystr(path),
+        )
 
 
 def test_params_replicated_after_step(rng):
