@@ -64,11 +64,34 @@ def test_native_never_split_parity(native_tok, python_tok):
         "[CLS] mix [MASK] stir [SEP]",
         "a [MASK]!",        # attached punctuation -> NOT protected (both split)
         "[SEP]x",           # not whitespace-delimited -> NOT protected
-        "[PAD] is not in never_split",
+        "[PAD] is protected (from_pretrained 5-token set)",
         "x\t[SEP]\ny",
     ]
     for text in cases:
         assert native_tok.tokenize(text) == python_tok.tokenize(text), text
+
+
+def test_custom_never_split_passes_through_to_native(vocab_file):
+    """ADVICE r1: a custom never_split set must reach the C++ tokenizer,
+    not silently fall back to its compiled-in default."""
+    default = WordPieceTokenizer(vocab_file)
+    custom = WordPieceTokenizer(vocab_file, never_split=("[UNK]",))
+    if default._native is None:
+        pytest.skip("native tokenizer unavailable (no g++?)")
+    assert custom._native is not None
+
+    # default (from_pretrained set): [SEP] protected -> survives whole
+    assert "[SEP]" in default.tokenize("add [SEP] salt")
+    # custom set without [SEP]: lowercased + punctuation-split
+    got = custom.tokenize("add [SEP] salt")
+    assert "[SEP]" not in got, got  # split to '['->UNK, 'sep' pieces, ']'->UNK
+    # and the native path agrees with the Python fallback for the same set
+    os.environ["UNIVL_TPU_NO_NATIVE"] = "1"
+    try:
+        py = WordPieceTokenizer(vocab_file, never_split=("[UNK]",))
+    finally:
+        del os.environ["UNIVL_TPU_NO_NATIVE"]
+    assert got == py.tokenize("add [SEP] salt")
 
 
 def test_native_unicode_parity(native_tok, python_tok):

@@ -159,6 +159,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         lib.wp_create_utf8.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
         ]
+        lib.wp_set_never_split.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.wp_free.argtypes = [ctypes.c_void_p]
         lib.wp_tokenize.restype = ctypes.c_int
         lib.wp_tokenize.argtypes = [
@@ -180,7 +181,12 @@ class NativeWordPiece:
 
     MAX_TOKENS = 4096
 
-    def __init__(self, vocab_tokens: List[str], do_lower_case: bool = True):
+    def __init__(
+        self,
+        vocab_tokens: List[str],
+        do_lower_case: bool = True,
+        never_split: Optional[List[str]] = None,
+    ):
         lib = _build_lib()
         if lib is None:
             raise RuntimeError("native wordpiece unavailable")
@@ -196,6 +202,13 @@ class NativeWordPiece:
             handle = None
         if not handle:  # tables unavailable -> ASCII-only tokenizer
             handle = lib.wp_create(vocab_blob, 1 if do_lower_case else 0)
+        if never_split is not None:
+            # mirror the Python tokenizer's configured set so the native and
+            # fallback paths can never diverge (reference from_pretrained
+            # uses 5 tokens incl. [PAD], modules/tokenization.py:157)
+            lib.wp_set_never_split(
+                handle, "\n".join(never_split).encode("utf-8")
+            )
         self._handle = handle
         self._tls = threading.local()
 

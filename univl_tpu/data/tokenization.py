@@ -168,7 +168,17 @@ class WordPieceTokenizer:
     with UNIVL_TPU_NO_NATIVE=1.
     """
 
-    def __init__(self, vocab_file: str, do_lower_case: bool = True):
+    # the reference's from_pretrained never_split set (the one every
+    # reference main actually runs with): modules/tokenization.py:157.
+    # Note it includes [PAD], unlike the bare-ctor default (:78).
+    PRETRAINED_NEVER_SPLIT = ("[UNK]", "[SEP]", "[PAD]", "[CLS]", "[MASK]")
+
+    def __init__(
+        self,
+        vocab_file: str,
+        do_lower_case: bool = True,
+        never_split: Sequence[str] = PRETRAINED_NEVER_SPLIT,
+    ):
         if not os.path.isfile(vocab_file):
             raise ValueError(f"vocab file not found: {vocab_file}")
         self.vocab = load_vocab(vocab_file)
@@ -184,7 +194,9 @@ class WordPieceTokenizer:
                 f"vocab {vocab_file} contains duplicate tokens; "
                 "some ids would have no reverse mapping"
             )
-        self.basic = BasicTokenizer(do_lower_case=do_lower_case)
+        self.basic = BasicTokenizer(
+            do_lower_case=do_lower_case, never_split=never_split
+        )
         self.wordpiece = GreedyWordpiece(self.vocab)
         self._vocab_tokens = list(self.vocab.keys())
         self._native = None
@@ -192,7 +204,10 @@ class WordPieceTokenizer:
             try:
                 from univl_tpu.data.native import NativeWordPiece
 
-                self._native = NativeWordPiece(self._vocab_tokens, do_lower_case)
+                self._native = NativeWordPiece(
+                    self._vocab_tokens, do_lower_case,
+                    never_split=list(never_split),
+                )
             except Exception:
                 self._native = None
 
