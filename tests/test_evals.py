@@ -80,6 +80,23 @@ def test_retrieval_evaluator_cross(tiny_setup, rng):
     assert 0.0 <= m["R1"] <= 1.0
 
 
+def test_device_resident_rescoring_matches_host_path(tiny_setup, rng):
+    """cross_sim_matrix_device (HBM-resident fori_loop stripes, the
+    corpus-scale FT-Align path) == the host-bounce tile loop, including
+    padded edge blocks (11 clips, tb=4, vb=8)."""
+    cfg, model, params = tiny_setup
+    ev = RetrievalEvaluator(model, params, batch_size=4,
+                            cross_text_block=4, cross_video_block=8)
+    batches = [dict(b) for b in _eval_batches(cfg, rng, n_batches=3)]
+    batches[-1] = {k: v[:3] for k, v in batches[-1].items()}  # N=11, ragged
+    host_enc = ev.encode_dataset(iter(batches), store_full=True)
+    host = ev.cross_sim_matrix(host_enc)
+    dev_enc = ev.encode_dataset_device(iter(batches))
+    dev = ev.cross_sim_matrix_device(dev_enc)
+    assert dev.shape == host.shape == (11, 11)
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+
 def test_cross_blocking_matches_unblocked(tiny_setup, rng):
     """Tiled cross-sim must equal the single-shot model cross_similarity."""
     cfg, model, params = tiny_setup
@@ -215,6 +232,31 @@ def test_meteor_ordering():
     bad = meteor(refs, ["quantum flux capacitor energy"])
     assert good > stem > bad
     assert bad == 0.0
+
+
+def test_meteor_15_formula_fixtures():
+    """Hand-computed METEOR 1.5 values (en rank parameters alpha=.85,
+    beta=.2, gamma=.6, delta=.75; exact matcher w=1.0, stem w=0.6).
+
+    Worked fixture (all-exact alignment, one dropped word, 2 chunks):
+      ref 'the cat sat on the mat', hyp 'the cat on the mat'
+      weighted P=1, R=2.25/3, fmean=.75/.9625, frag=2/5,
+      score = fmean * (1 - .6 * .4**.2) = 0.389975...
+    """
+    # perfectly contiguous full alignment -> zero fragmentation -> 1.0
+    assert meteor([["the cat sat"]], ["the cat sat"]) == pytest.approx(1.0)
+    assert meteor(
+        [["the cat sat on the mat"]], ["the cat on the mat"]
+    ) == pytest.approx(0.3899751238121113, abs=1e-9)
+    # stem match (Snowball 'cats'->'cat') at module weight 0.6; single
+    # full-coverage chunk -> unpenalized: P=R=(1*.25+.6*.75)/1.0=0.7
+    assert meteor([["the cat"]], ["the cats"]) == pytest.approx(0.7, abs=1e-9)
+
+
+def test_meteor_multi_reference_picks_best():
+    refs = [["a dog runs fast", "the cat sat on the mat"]]
+    one = meteor([["the cat sat on the mat"]], ["the cat sat on the mat"])
+    assert meteor(refs, ["the cat sat on the mat"]) == pytest.approx(one)
 
 
 def test_compute_caption_metrics_keys():

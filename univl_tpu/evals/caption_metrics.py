@@ -9,9 +9,15 @@ from the published algorithms:
           (Papineni et al. 2002; coco-caption accumulation semantics)
   - ROUGE-L: LCS F-measure with beta=1.2, max over refs, corpus mean
   - CIDEr-D: tf-idf 1..4-gram cosine with length penalty sigma=6, x10
-  - METEOR: pure-Python approximation of METEOR 1.5 — exact + Porter-stem
-    alignment stages, alpha=0.9/beta=3/gamma=0.5, WITHOUT the Java synonym /
-    paraphrase tables (scores trend slightly lower than Java METEOR)
+  - METEOR: pure-Python METEOR 1.5 (Denkowski & Lavie 2014) — exact +
+    Snowball-stem matchers (the SAME stemmer the Java jar uses for English,
+    via nltk), module weights 1.0/0.6, English rank-task parameters
+    alpha=.85 beta=.2 gamma=.6 delta=.75, content/function-word weighting,
+    chunk-minimizing alignment, corpus-level aggregation of sufficient
+    statistics. WITHOUT the WordNet synonym (w=.8) and paraphrase-table
+    (w=.6) matchers — their data files are unavailable offline — so scores
+    are a LOWER BOUND on Java METEOR (they only add matches). See
+    tests/test_evals.py for hand-computed formula fixtures.
 
 Inputs: hyps: list[str]; refs: list[list[str]] (multi-reference per row,
 reference assembles these for MSRVTT at main_task_caption.py:599-607).
@@ -163,88 +169,150 @@ def cider_d(
 
 
 # --------------------------------------------------------------------- #
-# METEOR (pure-Python approximation)
+# METEOR 1.5 (Denkowski & Lavie 2014), exact + stem matchers
 # --------------------------------------------------------------------- #
-def _porter_stem(w: str) -> str:
-    """Compact Porter stemmer (steps 1a/1b/1c + common suffixes)."""
-    if len(w) <= 3:
-        return w
-    for suf, rep in (
-        ("sses", "ss"), ("ies", "i"), ("ss", "ss"), ("s", ""),
-    ):
-        if w.endswith(suf):
-            w = w[: len(w) - len(suf)] + rep
-            break
-    for suf in ("eed", "ed", "ing"):
-        if w.endswith(suf):
-            stem = w[: len(w) - len(suf)]
-            if suf == "eed":
-                if sum(ch in "aeiou" for ch in stem):
-                    w = stem + "ee"
-            elif any(ch in "aeiou" for ch in stem):
-                w = stem
-                if w.endswith(("at", "bl", "iz")):
-                    w += "e"
-            break
-    if w.endswith("y") and any(ch in "aeiou" for ch in w[:-1]):
-        w = w[:-1] + "i"
-    for suf, rep in (
-        ("ational", "ate"), ("tional", "tion"), ("ization", "ize"),
-        ("fulness", "ful"), ("ousness", "ous"), ("iveness", "ive"),
-        ("ment", ""), ("ness", ""),
-    ):
-        if w.endswith(suf) and len(w) - len(suf) >= 2:
-            w = w[: len(w) - len(suf)] + rep
-            break
-    return w
+def _stemmer():
+    """Snowball English — the stemmer METEOR's Java jar uses for 'en'.
+    nltk ships it as pure code (no corpus download). Falls back to identity
+    (exact-only matching) if nltk is somehow absent."""
+    try:
+        from nltk.stem.snowball import SnowballStemmer
+
+        return SnowballStemmer("english").stem
+    except Exception:  # pragma: no cover
+        return lambda w: w
 
 
-def _meteor_align(h: List[str], r: List[str]):
-    """Greedy two-stage alignment: exact, then stems. Returns matched index
-    pairs (hyp_idx, ref_idx)."""
-    matches = []
-    used_h = [False] * len(h)
-    used_r = [False] * len(r)
-    for stage in ("exact", "stem"):
-        key_h = h if stage == "exact" else [_porter_stem(w) for w in h]
-        key_r = r if stage == "exact" else [_porter_stem(w) for w in r]
-        for i, hw in enumerate(key_h):
-            if used_h[i]:
-                continue
-            for j, rw in enumerate(key_r):
-                if not used_r[j] and hw == rw:
-                    matches.append((i, j))
-                    used_h[i] = True
-                    used_r[j] = True
-                    break
-    return sorted(matches)
+_STEM = None
+
+# English closed-class function words (approximation of METEOR's
+# corpus-derived function.words list: articles, prepositions, conjunctions,
+# pronouns, auxiliaries, common adverbial particles). Function words get
+# weight (1 - delta), content words delta.
+_FUNCTION_WORDS = frozenset(
+    """a an the this that these those some any each every no all both few
+    many much more most other another such what which who whom whose i you
+    he she it we they me him her us them my your his its our their mine
+    yours hers ours theirs myself yourself himself herself itself ourselves
+    themselves be am is are was were been being have has had having do does
+    did doing will would shall should may might can could must ought need
+    of in on at by for with about against between into through during
+    before after above below to from up down out off over under again
+    further then once here there when where why how and or but nor so yet
+    if because as until while although though since unless whether not only
+    just very too also than own same s t don now""".split()
+)
+
+# METEOR 1.5 English rank-task parameters and matcher weights
+_M15 = dict(alpha=0.85, beta=0.2, gamma=0.6, delta=0.75,
+            w_exact=1.0, w_stem=0.6)
+
+
+def _word_weight(w: str, delta: float) -> float:
+    return (1.0 - delta) if w in _FUNCTION_WORDS else delta
+
+
+def _candidates(h: List[str], r: List[str], stem) -> Dict[tuple, float]:
+    """(i, j) -> matcher weight; a pair matched by both modules counts at
+    the higher-priority (exact) weight, as in the Java aligner."""
+    cand: Dict[tuple, float] = {}
+    hs = [stem(w) for w in h]
+    rs = [stem(w) for w in r]
+    for i, hw in enumerate(h):
+        for j, rw in enumerate(r):
+            if hw == rw:
+                cand[(i, j)] = _M15["w_exact"]
+            elif hs[i] == rs[j]:
+                cand[(i, j)] = _M15["w_stem"]
+    return cand
+
+
+def _align(h: List[str], r: List[str], stem):
+    """Beam search over hyp positions: maximize total matcher weight, then
+    minimize chunks (the Java aligner's objective). Returns sorted match
+    list [(i, j, w_mod)]."""
+    cand = _candidates(h, r, stem)
+    by_i: Dict[int, List[tuple]] = {}
+    for (i, j), w in cand.items():
+        by_i.setdefault(i, []).append((j, w))
+    # state: (used_ref frozenset, last_j, total_w, chunks, matches tuple)
+    beams = [(frozenset(), None, 0.0, 0, ())]
+    WIDTH = 16
+    for i in range(len(h)):
+        nxt = []
+        for used, last, tw, ch, ms in beams:
+            nxt.append((used, None, tw, ch, ms))  # skip hyp word i
+            for j, w in by_i.get(i, ()):
+                if j in used:
+                    continue
+                contiguous = (
+                    ms and ms[-1][0] == i - 1 and ms[-1][1] == j - 1
+                )
+                nxt.append(
+                    (used | {j}, j, tw + w, ch + (0 if contiguous else 1),
+                     ms + ((i, j, w),))
+                )
+        nxt.sort(key=lambda s: (-s[2], s[3]))
+        beams = nxt[:WIDTH]
+    best = beams[0]
+    return list(best[4])
+
+
+def _segment_stats(h: List[str], r: List[str], stem, delta: float):
+    """Sufficient statistics for one (hyp, ref) pair."""
+    matches = _align(h, r, stem)
+    wp = sum(w * _word_weight(h[i], delta) for i, j, w in matches)
+    wr = sum(w * _word_weight(r[j], delta) for i, j, w in matches)
+    lh = sum(_word_weight(w, delta) for w in h)
+    lr = sum(_word_weight(w, delta) for w in r)
+    chunks = 0
+    prev = None
+    for i, j, _ in matches:
+        if prev is None or not (i == prev[0] + 1 and j == prev[1] + 1):
+            chunks += 1
+        prev = (i, j)
+    # exact full match in a single chunk -> no fragmentation (Java special
+    # case: a perfectly contiguous total alignment is unpenalized)
+    if chunks == 1 and len(matches) == len(h) == len(r):
+        chunks = 0
+    return dict(wp=wp, wr=wr, lh=lh, lr=lr,
+                chunks=chunks, m=float(len(matches)))
+
+
+def _meteor_from_stats(s, alpha: float, beta: float, gamma: float) -> float:
+    if s["lh"] <= 0 or s["lr"] <= 0 or s["wp"] <= 0 or s["wr"] <= 0:
+        return 0.0
+    p = s["wp"] / s["lh"]
+    r = s["wr"] / s["lr"]
+    fmean = p * r / (alpha * p + (1 - alpha) * r)
+    frag = (s["chunks"] / s["m"]) if s["m"] > 0 else 0.0
+    return fmean * (1.0 - gamma * frag ** beta)
 
 
 def meteor(
     refs: List[List[str]], hyps: List[str],
-    alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5,
+    alpha: float = _M15["alpha"], beta: float = _M15["beta"],
+    gamma: float = _M15["gamma"], delta: float = _M15["delta"],
 ) -> float:
-    total = 0.0
+    """Corpus-level METEOR: per segment pick the best-scoring reference,
+    aggregate its sufficient statistics, apply the formula to the totals
+    (the Java scorer's system-level aggregation)."""
+    global _STEM
+    if _STEM is None:
+        _STEM = _stemmer()
+    agg = dict(wp=0.0, wr=0.0, lh=0.0, lr=0.0, chunks=0.0, m=0.0)
     for refs_i, hyp in zip(refs, hyps):
         h = hyp.lower().split()
-        best = 0.0
+        best_s, best_score = None, -1.0
         for ref in refs_i:
-            r = ref.lower().split()
-            m = _meteor_align(h, r)
-            if not m or not h or not r:
-                continue
-            prec = len(m) / len(h)
-            rec = len(m) / len(r)
-            fmean = prec * rec / (alpha * prec + (1 - alpha) * rec)
-            # chunks: contiguous runs in both hyp and ref order
-            chunks = 1
-            for (i0, j0), (i1, j1) in zip(m, m[1:]):
-                if not (i1 == i0 + 1 and j1 == j0 + 1):
-                    chunks += 1
-            penalty = gamma * (chunks / len(m)) ** beta
-            best = max(best, fmean * (1 - penalty))
-        total += best
-    return total / max(len(hyps), 1)
+            s = _segment_stats(h, ref.lower().split(), _STEM, delta)
+            score = _meteor_from_stats(s, alpha, beta, gamma)
+            if score > best_score:
+                best_s, best_score = s, score
+        if best_s is not None:
+            for k in agg:
+                agg[k] += best_s[k]
+    return _meteor_from_stats(agg, alpha, beta, gamma)
 
 
 # --------------------------------------------------------------------- #
