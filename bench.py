@@ -65,17 +65,25 @@ def main():
     gb = _make_batch(cfg, batch_per_dev * n_dev, seed=1)
     batch = trainer.shard_batch({k: v[None] for k, v in gb.items()})
 
+    # K steps per dispatch (lax.scan): each dispatch costs ~20 ms of host/
+    # tunnel work here — comparable to the 17.4 ms device step — so the
+    # per-dispatch loop is HOST-bound and under-reports the chip
+    # (docs/PERF.md round 2). train_steps amortizes dispatch K-fold; a
+    # production input pipeline feeds it K prefetched batches the same way.
+    K = 5 if on_tpu else 2
+    batches = jax.tree.map(lambda x: jax.numpy.stack([x] * K), batch)
+
     # compile + warmup (float() forces a real device sync; block_until_ready
     # does NOT synchronize on the tunneled axon backend — see docs/PERF.md)
-    state, metrics = trainer.train_step(state, batch, jax.random.key(1))
-    _ = float(metrics["loss"])
+    state, metrics = trainer.train_steps(state, batches, jax.random.key(1))
+    _ = float(metrics["loss"][-1])
 
-    steps = 20 if on_tpu else 3
+    calls = 4 if on_tpu else 2
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = trainer.train_step(state, batch, jax.random.key(2 + i))
-    _ = float(metrics["loss"])  # sync: the step chain serializes on device
-    dt = (time.perf_counter() - t0) / steps
+    for i in range(calls):
+        state, metrics = trainer.train_steps(state, batches, jax.random.key(2 + i))
+    _ = float(metrics["loss"][-1])  # sync: the chain serializes on device
+    dt = (time.perf_counter() - t0) / (steps := calls * K)
 
     clips_per_sec = batch_per_dev * n_dev / dt
     print(

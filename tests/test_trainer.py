@@ -128,6 +128,59 @@ def test_grad_accum_equivalence(rng):
         )
 
 
+def test_train_steps_scan_matches_sequential(rng):
+    """train_steps (K steps, one dispatch via lax.scan) == K train_step
+    calls with the same folded rngs — params and per-step losses."""
+    cfg = UniVLConfig.tiny()
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    model = UniVL(cfg)
+
+    def fresh_state(tr):
+        return tr.init_state(jax.random.key(0), make_batch(cfg, np.random.RandomState(0)))
+
+    K = 3
+    bs = [global_batch(cfg, np.random.RandomState(i), n_dev) for i in range(K)]
+    root = jax.random.key(7)
+
+    tx1 = make_univl_optimizer(lr=1e-3, t_total=50)
+    t_seq = Trainer(model, tx1, mesh, donate=False)
+    state = fresh_state(t_seq)
+    seq_losses = []
+    for i in range(K):
+        state, m = t_seq.train_step(
+            state, t_seq.shard_batch(bs[i]), jax.random.fold_in(root, i)
+        )
+        seq_losses.append(float(m["loss"]))
+    seq_params = jax.tree.map(np.asarray, state.params)
+
+    tx2 = make_univl_optimizer(lr=1e-3, t_total=50)
+    t_scan = Trainer(model, tx2, mesh, donate=False)
+    state2 = fresh_state(t_scan)
+    stacked = {
+        k: jnp.stack([bs[i][k] for i in range(K)]) for k in bs[0]
+    }
+    stacked = jax.tree.map(
+        lambda x: jax.device_put(
+            x, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(None, None, "dp")
+            )
+        ),
+        stacked,
+    )
+    state2, metrics = t_scan.train_steps(state2, stacked, root)
+    scan_losses = [float(x) for x in np.asarray(metrics["loss"])]
+
+    np.testing.assert_allclose(scan_losses, seq_losses, rtol=1e-6)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree.map(np.asarray, state2.params)))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(seq_params):
+        np.testing.assert_allclose(
+            leaf, flat_b[path], rtol=1e-6, atol=1e-8,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_params_replicated_after_step(rng):
     cfg = UniVLConfig.tiny()
     n_dev = len(jax.devices())

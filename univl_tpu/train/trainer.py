@@ -52,7 +52,7 @@ class Trainer:
         self.tx = tx
         self.mesh = mesh
         self.grad_accum_steps = grad_accum_steps
-        self._train_step = self._build_train_step(donate)
+        self._train_step, self._train_steps = self._build_train_step(donate)
 
     # ------------------------------------------------------------ #
     def init_state(self, rng: jax.Array, example_batch: Dict[str, jax.Array]) -> TrainState:
@@ -128,18 +128,19 @@ class Trainer:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt_state, metrics
 
+        mapped = shard_map(
+            per_device_step,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(None, DP_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+
         @functools.partial(
             jax.jit,
             donate_argnums=(0,) if donate else (),
         )
         def train_step(state: TrainState, batch, rng):
-            mapped = shard_map(
-                per_device_step,
-                mesh=self.mesh,
-                in_specs=(P(), P(), P(), P(None, DP_AXIS), P()),
-                out_specs=(P(), P(), P()),
-                check_vma=False,
-            )
             new_params, new_opt_state, metrics = mapped(
                 state.params, state.opt_state, state.step, batch, rng
             )
@@ -148,7 +149,40 @@ class Trainer:
             )
             return new_state, metrics
 
-        return train_step
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(0,) if donate else (),
+        )
+        def train_steps(state: TrainState, batches, rng):
+            """K optimizer steps in ONE dispatch (lax.scan over the leading
+            axis of ``batches``). On remote/tunneled hosts each dispatch
+            costs ~wall-step time in host work (docs/PERF.md round 2:
+            20.2 ms wall vs 17.4 ms device self time), so scanning K steps
+            amortizes it and the chip runs back-to-back. Step i uses
+            fold_in(rng, i)."""
+
+            def body(st, xs):
+                b, i = xs
+                new_params, new_opt_state, metrics = mapped(
+                    st.params, st.opt_state, st.step, b,
+                    jax.random.fold_in(rng, i),
+                )
+                return (
+                    TrainState(
+                        params=new_params,
+                        opt_state=new_opt_state,
+                        step=st.step + 1,
+                    ),
+                    metrics,
+                )
+
+            n = jax.tree.leaves(batches)[0].shape[0]
+            state, metrics = jax.lax.scan(
+                body, state, (batches, jnp.arange(n))
+            )
+            return state, metrics
+
+        return train_step, train_steps
 
     # ------------------------------------------------------------ #
     def train_step(self, state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
@@ -158,6 +192,17 @@ class Trainer:
         divisible by the mesh size.
         """
         return self._train_step(state, batch, rng)
+
+    def train_steps(self, state: TrainState, batches, rng: jax.Array):
+        """K optimizer steps in one dispatch.
+
+        ``batches`` arrays are [n_steps, accum, global_batch, ...] (stack K
+        sharded batches with shard_batch + tree stack, or upload them
+        prefetched). Step i draws dropout from fold_in(rng, i) — equivalent
+        to K train_step calls with those folded keys
+        (tests/test_trainer.py::test_train_steps_scan_matches_sequential).
+        Returns (state, metrics stacked [n_steps, ...])."""
+        return self._train_steps(state, batches, rng)
 
     def shard_batch(self, batch: Dict[str, Any]):
         """Place a host batch onto the mesh, sharded over axis 1 (global batch).
