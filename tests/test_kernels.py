@@ -265,3 +265,45 @@ def test_bias_shim_fallback(rng):
     out = fused_attention(q, q, q, bias)
     expect = sdpa_xla(q, q, q, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(4, 48, 64), (256, 128), (3, 7, 64)])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_layernorm_grads_match_plain(rng, shape, dtype):
+    """custom-VJP LN backward (Pallas, interpret) == jax.grad of the plain
+    implementation — dx, dgamma, dbeta. (3,7,64) exercises the odd-row
+    jnp fallback path."""
+    from univl_tpu.kernels.layernorm import _plain_fwd, fused_layer_norm
+
+    eps = 1e-12
+    d = shape[-1]
+    x = jnp.asarray(rng.randn(*shape), dtype)
+    scale = jnp.asarray(rng.randn(d) * 0.2 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.randn(d) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.randn(*shape), dtype)
+
+    def loss_plain(x, s, b):
+        return jnp.sum(_plain_fwd(x, s, b, eps).astype(jnp.float32) *
+                       g.astype(jnp.float32))
+
+    def loss_fused(x, s, b):
+        return jnp.sum(fused_layer_norm(x, s, b, eps, True).astype(jnp.float32) *
+                       g.astype(jnp.float32))
+
+    y_plain = _plain_fwd(x, scale, bias, eps)
+    y_fused = fused_layer_norm(x, scale, bias, eps, True)
+    ytol = dict(rtol=1e-5, atol=1e-6) if dtype == jnp.float32 else \
+        dict(rtol=1e-2, atol=4e-5)  # one bf16 ulp at the output cast
+    np.testing.assert_allclose(  # reduce-order ulp differences only
+        np.asarray(y_plain, np.float32), np.asarray(y_fused, np.float32),
+        **ytol,
+    )
+
+    gp = jax.grad(loss_plain, argnums=(0, 1, 2))(x, scale, bias)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    for a, b_, name in zip(gp, gf, ("dx", "dgamma", "dbeta")):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            rtol=tol, atol=tol, err_msg=name,
+        )

@@ -52,11 +52,28 @@ def additive_mask_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
     return ((1.0 - m) * MASK_BIAS)[:, None, None, :]
 
 
+def _fused_ln_enabled() -> bool:
+    """Opt-in gate (UNIVL_TPU_FUSED_LN=1) for the Pallas LayerNorm.
+
+    Measured and REJECTED as a default in round 2 (docs/PERF.md): the
+    train-step profile shows ~1.9 ms/step of LN stat fusions, but both the
+    bwd-only and fwd+bwd Pallas variants land within noise of the XLA path
+    end-to-end (1591 / 1575 vs 1586 clips/s) — XLA's LN work is already
+    fused into neighboring ops, and the kernel's fusion breaks give the
+    savings right back. Kept opt-in for future configs with fatter rows."""
+    import os
+
+    return bool(os.environ.get("UNIVL_TPU_FUSED_LN"))
+
+
 class LayerNormTF(nn.Module):
     """TF-style LayerNorm: epsilon inside the sqrt, eps=1e-12.
 
     Reference: modules/until_module.py:40-53. Statistics are computed in
     fp32 regardless of input dtype; output is cast back to the input dtype.
+    UNIVL_TPU_FUSED_LN=1 swaps in the Pallas custom-VJP version
+    (kernels/layernorm.py, identical math) — opt-in only; measured a wash
+    at UniVL shapes (docs/PERF.md round 2).
     """
 
     epsilon: float = LN_EPS
@@ -66,6 +83,10 @@ class LayerNormTF(nn.Module):
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        if _fused_ln_enabled():
+            from univl_tpu.kernels.layernorm import fused_layer_norm
+
+            return fused_layer_norm(x, scale, bias, self.epsilon)
         xf = x.astype(jnp.float32)
         u = jnp.mean(xf, axis=-1, keepdims=True)
         s = jnp.mean(jnp.square(xf - u), axis=-1, keepdims=True)
