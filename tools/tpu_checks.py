@@ -1,0 +1,151 @@
+"""On-hardware assertions for the kernels CI cannot exercise.
+
+Round-1 ADVICE items 2 and 3: interpret-mode tests do not exercise real
+``input_output_aliases`` buffer sharing (beam cache reorder), and
+``pltpu.prng_random_bits`` returns zeros in interpret mode (in-kernel
+dropout), so both need a real-chip check runnable from the driver rather
+than pytest.
+
+Usage: python tools/tpu_checks.py     (prints PASS/FAIL per check, rc != 0
+on any failure; requires the TPU backend)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def check_beam_reorder() -> str:
+    """Compiled grouped in-place reorder == one-hot-einsum oracle, bitwise.
+
+    Guards the Mosaic scheduling hazard documented in kernels/reorder.py:
+    with donation the input/output blocks share one VMEM buffer, so a
+    scheduling change that reorders the load/store pattern would consume
+    already-overwritten rows — undetectable in interpret mode.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from univl_tpu.kernels.reorder import beam_reorder_groups_inplace
+
+    B, K, H, L, D = 16, 5, 12, 64, 64  # fast_decoder cache shapes (bucket 64)
+    rng = np.random.RandomState(0)
+    caches = [
+        jnp.asarray(rng.randn(B * K, H, L, D), jnp.bfloat16) for _ in range(6)
+    ]
+    prev_k = jnp.asarray(
+        np.stack([rng.permutation(K) for _ in range(B)]).reshape(B * K), jnp.int32
+    )
+
+    out = jax.jit(
+        lambda arrs, idx: beam_reorder_groups_inplace(list(arrs), idx, K)
+    )(tuple(caches), prev_k)
+
+    perm = np.asarray(prev_k).reshape(B, K)
+    ok = True
+    for a, o in zip(caches, out):
+        a_np = np.asarray(a).reshape(B, K, H, L, D)
+        expect = np.take_along_axis(
+            a_np, perm[:, :, None, None, None], axis=1
+        ).reshape(B * K, H, L, D)
+        got = np.asarray(o)
+        if not (got == expect).all():
+            ok = False
+            break
+    return "PASS" if ok else "FAIL: reordered cache != one-hot oracle"
+
+
+def check_train_attention_dropout(rate: float = 0.1) -> str:
+    """rate>0 fused attention on hardware: (a) the dropped-prob matrix has
+    ~rate zero mass per row, (b) the backward regenerates the SAME mask
+    (dv computed from the fwd-extracted probs matches jax.grad's dv).
+
+    Mask extraction: with head_dim == Lk and v[:, :, h*d:(h+1)*d] = I per
+    head, the attention output IS the dropped/rescaled prob matrix
+    (the oracle from docs/PERF.md's kernel validation).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from univl_tpu.kernels.train_attention import fused_train_attention
+
+    B, H, L = 8, 4, 64
+    d = L  # head_dim == Lk so v can be identity per head
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(B, L, H * d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, L, H * d), jnp.bfloat16)
+    v = jnp.asarray(
+        np.tile(np.eye(L, dtype=np.float32), (B, 1, H)), jnp.bfloat16
+    )
+    key_mask = jnp.ones((B, L), jnp.int32)
+    seed = jnp.asarray(12345, jnp.int32)
+
+    fn = jax.jit(
+        lambda q, k, v: fused_train_attention(q, k, v, key_mask, seed, rate, H)
+    )
+    probs = np.asarray(fn(q, k, v), np.float32)  # [B, Lq, H*Lk] dropped probs
+
+    zero_frac = float((probs == 0.0).mean())
+    if not (rate - 0.04 <= zero_frac <= rate + 0.04):
+        return (
+            f"FAIL: dropout zero fraction {zero_frac:.3f} not ~{rate} "
+            "(prng_random_bits may be returning degenerate bits)"
+        )
+
+    # (b) backward-pass mask regeneration: dv from jax.grad vs dv computed
+    # from the forward-extracted dropped probs. A different bwd mask makes
+    # these disagree almost surely.
+    g = jnp.asarray(rng.randn(B, L, H * d), jnp.bfloat16)
+    dv = jax.jit(
+        jax.grad(
+            lambda v_: jnp.sum(
+                fused_train_attention(
+                    q, k, v_, key_mask, seed, rate, H
+                ).astype(jnp.float32)
+                * g.astype(jnp.float32)
+            )
+        )
+    )(v)
+    dv = np.asarray(dv, np.float32)
+
+    p = probs.reshape(B, L, H, L).transpose(0, 2, 1, 3)  # [B,H,Lq,Lk]
+    g4 = np.asarray(g, np.float32).reshape(B, L, H, d).transpose(0, 2, 1, 3)
+    dv_expect = np.einsum("bhij,bhie->bhje", p, g4)  # [B,H,Lk,d]
+    dv_expect = dv_expect.transpose(0, 2, 1, 3).reshape(B, L, H * d)
+    # bf16 kernel arithmetic: allow ulp-scale error, but a wrong mask
+    # produces O(1) differences at dropped/kept disagreement sites
+    err = np.abs(dv - dv_expect).max()
+    if err > 0.05:
+        return f"FAIL: bwd dv deviates from fwd-mask prediction (max {err:.3f})"
+    return "PASS"
+
+
+def main() -> int:
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print("SKIP: requires the TPU backend (jax.default_backend() = "
+              f"{jax.default_backend()})")
+        return 0
+    rc = 0
+    for name, fn in (
+        ("beam_reorder_groups_inplace bit-identity", check_beam_reorder),
+        ("train_attention in-kernel dropout", check_train_attention_dropout),
+    ):
+        try:
+            res = fn()
+        except Exception as e:  # noqa: BLE001
+            res = f"FAIL: {type(e).__name__}: {e}"
+        print(f"{name}: {res}")
+        if res.startswith("FAIL"):
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

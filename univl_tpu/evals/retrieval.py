@@ -163,6 +163,86 @@ class RetrievalEvaluator:
             return np.asarray(sim)[: enc["text_emb"].shape[0]]
         return enc["text_emb"] @ enc["video_emb"].T
 
+    def encode_dataset_device(self, batches: Iterator[Dict[str, np.ndarray]]):
+        """Pass 1 for corpus-scale FT-Align rescoring: like encode_dataset
+        with store_full, but the [N, L, H] encoder outputs STAY IN HBM.
+
+        The host-bounce variant downloads ~0.5 GB of encoder outputs and
+        re-uploads every video block once per text block — O(N^2/tb) bytes
+        over PCIe (or this environment's ~30 MB/s tunnel, where a YouCook2-
+        sized corpus would take hours in transfers alone). Device-resident,
+        the quadratic pass moves no bytes off-chip except the [N, N] sim
+        matrix itself. A 3.3k-clip corpus holds ~1 GB of fp32 outputs —
+        ~6% of one v5e's HBM."""
+        seqs, viss, ams, vms, texts, videos = [], [], [], [], [], []
+        for batch in batches:
+            batch, n = _pad_batch(batch, self.batch_size)
+            seq, vis = self._encode(
+                self.params,
+                batch["input_ids"], batch["token_type_ids"],
+                batch["attention_mask"], batch["video"], batch["video_mask"],
+            )
+            t, v = self._pool(seq, vis, batch["attention_mask"], batch["video_mask"])
+            seqs.append(seq[:n])
+            viss.append(vis[:n])
+            ams.append(jnp.asarray(batch["attention_mask"][:n]))
+            vms.append(jnp.asarray(batch["video_mask"][:n]))
+            texts.append(np.asarray(t[:n], np.float32))
+            videos.append(np.asarray(v[:n], np.float32))
+        return {
+            "seq": jnp.concatenate(seqs),
+            "vis": jnp.concatenate(viss),
+            "am": jnp.concatenate(ams),
+            "vm": jnp.concatenate(vms),
+            "text_emb": np.concatenate(texts),
+            "video_emb": np.concatenate(videos),
+        }
+
+    def cross_sim_matrix_device(self, enc) -> np.ndarray:
+        """FT-Align rescoring with everything resident in HBM.
+
+        One jitted ROW-STRIPE program: for a [tb]-text block, a fori_loop
+        sweeps all video blocks (dynamic slices of the resident [N, L, H]
+        visual outputs) and fills [tb, N] scores on device. The Python loop
+        dispatches one stripe per text block; dispatches pipeline (no
+        per-stripe sync) and only the [tb, N] score rows come back to host.
+        Compiles once regardless of N (block sizes are static)."""
+        tb, vb = self.tb, self.vb
+        n = int(enc["seq"].shape[0])
+        n_pad = -(-n // tb) * tb
+        nv_pad = -(-n // vb) * vb
+
+        seq = _pad_rows_device(enc["seq"], n_pad)
+        am = _pad_rows_device(enc["am"], n_pad)
+        vis = _pad_rows_device(enc["vis"], nv_pad)
+        vm = _pad_rows_device(enc["vm"], nv_pad)
+
+        model = self.model
+
+        @jax.jit
+        def stripe(params, seq_i, am_i, vis_all, vm_all):
+            nv = vis_all.shape[0] // vb
+
+            def body(j, acc):
+                vis_j = jax.lax.dynamic_slice_in_dim(vis_all, j * vb, vb, 0)
+                vm_j = jax.lax.dynamic_slice_in_dim(vm_all, j * vb, vb, 0)
+                blk = model.apply(
+                    params, seq_i, vis_j, am_i, vm_j,
+                    method=UniVL.cross_similarity,
+                )
+                return jax.lax.dynamic_update_slice_in_dim(
+                    acc, blk.astype(jnp.float32), j * vb, 1
+                )
+
+            acc0 = jnp.zeros((tb, nv * vb), jnp.float32)
+            return jax.lax.fori_loop(0, nv, body, acc0)
+
+        rows = []
+        for i0 in range(0, n_pad, tb):
+            rows.append(stripe(self.params, seq[i0:i0 + tb], am[i0:i0 + tb], vis, vm))
+        sim = np.concatenate([np.asarray(r) for r in rows], axis=0)
+        return sim[:n, :n]
+
     def cross_sim_matrix(self, enc) -> np.ndarray:
         """FT-Align: cross-encoder rescoring over static-shape tiles.
 
@@ -214,3 +294,9 @@ def _pad_rows(x: np.ndarray, size: int) -> np.ndarray:
         return x
     pad = np.zeros((size - x.shape[0], *x.shape[1:]), x.dtype)
     return np.concatenate([x, pad], axis=0)
+
+
+def _pad_rows_device(x: jax.Array, size: int) -> jax.Array:
+    if x.shape[0] == size:
+        return x
+    return jnp.pad(x, [(0, size - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
