@@ -1,0 +1,129 @@
+"""Multi-host data-parallel smoke: 2 real processes, 4 CPU devices each.
+
+Round-1 VERDICT item 9: the `jax.process_count() > 1` branch of
+`Trainer.shard_batch` (make_array_from_process_local_data assembly) and the
+process-sharded `Batcher(process_count=2)` had no test at all. Here two
+subprocesses form a real jax.distributed cluster (Gloo collectives over
+localhost), each materializes only its half of the global batch, and both
+run one identical train step over the global 8-device mesh — the losses
+must agree exactly (they are pmean'd over the global dp axis, so any
+assembly/placement mistake desynchronizes them).
+
+Reference equivalent: single-node torch.distributed.launch DDP only
+(SURVEY §5); this covers the multi-host scaling path the reference lacks.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import os, sys
+port, pid = sys.argv[1], int(sys.argv[2])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{{port}}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+import numpy as np
+
+sys.path.insert(0, {repo!r})
+from univl_tpu.config import UniVLConfig
+from univl_tpu.data.batching import Batcher
+from univl_tpu.models.univl import UniVL
+from univl_tpu.parallel.mesh import make_mesh
+from univl_tpu.train.optimization import make_univl_optimizer
+from univl_tpu.train.trainer import Trainer
+
+cfg = UniVLConfig.tiny()  # batch_size_per_device=4 -> global batch 32
+
+
+class SyntheticDS:
+    def __len__(self):
+        return 64
+
+    def __getitem__(self, i):
+        r = np.random.RandomState(1000 + i)
+        return {{
+            "input_ids": r.randint(
+                0, cfg.bert.vocab_size, (cfg.max_words,)
+            ).astype(np.int32),
+            "token_type_ids": np.zeros((cfg.max_words,), np.int32),
+            "attention_mask": np.ones((cfg.max_words,), np.int32),
+            "video": r.randn(cfg.max_frames, cfg.video_dim).astype(np.float32),
+            "video_mask": np.ones((cfg.max_frames,), np.int32),
+        }}
+
+
+mesh = make_mesh()
+model = UniVL(cfg)
+tx = make_univl_optimizer(lr=1e-3, t_total=10)
+trainer = Trainer(model, tx, mesh)
+
+batcher = Batcher(
+    SyntheticDS(), batch_size=32, shuffle=True, seed=0, num_workers=2,
+    process_index=pid, process_count=2,
+)
+local = next(iter(batcher.epoch(0)))
+assert local["input_ids"].shape[0] == 16, local["input_ids"].shape  # half
+local = {{k: np.stack([v]) for k, v in local.items()}}  # accum axis
+batch = trainer.shard_batch(local)
+assert batch["input_ids"].shape == (1, 32, cfg.max_words)  # global assembly
+
+example = {{k: v[0][: cfg.batch_size_per_device] for k, v in local.items()}}
+state = trainer.init_state(jax.random.key(0), example)
+state, metrics = trainer.train_step(state, batch, jax.random.key(1))
+print("LOSS", pid, repr(float(metrics["loss"])), flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_dp_step(tmp_path):
+    port = _free_port()
+    script = tmp_path / "child.py"
+    script.write_text(CHILD.format(repo=REPO))
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # child sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"child failed:\n{out}"
+
+    losses = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("LOSS "):
+                _, pid, val = line.split(maxsplit=2)
+                losses[int(pid)] = float(eval(val))
+    assert set(losses) == {0, 1}, outs
+    assert np.isfinite(losses[0])
+    # pmean'd over the global mesh -> every process sees the same loss
+    assert losses[0] == losses[1], losses
