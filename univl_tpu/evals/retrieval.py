@@ -275,15 +275,28 @@ class RetrievalEvaluator:
     def evaluate(
         self, batches: Iterator[Dict[str, np.ndarray]], mode: Optional[str] = None
     ) -> Dict[str, float]:
-        """mode: 'joint' | 'cross' (default from model config)."""
+        """mode: 'joint' | 'cross' (default from model config).
+
+        Cross mode without a mesh uses the device-resident pipeline
+        (encoder outputs stay in HBM, tests pin parity with the host
+        path) — at YouCook2 scale the host-bounce loop re-uploads the
+        visual outputs O(N/tb) times (docs/PERF.md FT-Align section).
+        The mesh-sharded eval keeps the host path (row-block fan-out)."""
         if mode is None:
             mode = (
                 "cross"
                 if (self.model.cfg.train_sim_after_cross or self.model.cfg.stage_two)
                 else "joint"
             )
-        enc = self.encode_dataset(batches, store_full=(mode == "cross"))
-        sim = self.joint_sim_matrix(enc) if mode == "joint" else self.cross_sim_matrix(enc)
+        if mode == "cross" and self.mesh is None:
+            enc = self.encode_dataset_device(batches)
+            sim = self.cross_sim_matrix_device(enc)
+        else:
+            enc = self.encode_dataset(batches, store_full=(mode == "cross"))
+            sim = (
+                self.joint_sim_matrix(enc) if mode == "joint"
+                else self.cross_sim_matrix(enc)
+            )
         metrics = compute_retrieval_metrics(sim)
         metrics["mode"] = mode  # type: ignore[assignment]
         return metrics
