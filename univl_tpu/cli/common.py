@@ -118,6 +118,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--n_gpu", type=int, default=0,
                    help="mesh size; 0 = all local devices")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="tp axis size of a 2-D (dp, tp) mesh; weights are "
+                        "Megatron-sharded over tp (parallel/tp.py). Must "
+                        "divide the mesh size. No reference equivalent "
+                        "(the reference is DP-only).")
     p.add_argument("--cache_dir", type=str, default="")
     p.add_argument("--fp16", action="store_true", help="bfloat16 compute on TPU")
     p.add_argument("--fp16_opt_level", type=str, default="O1")  # parity, unused
@@ -234,7 +239,10 @@ def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
     )
     n_dev = args.n_gpu or len(jax.devices())
     micro_global = args.batch_size  # already divided by grad accum
-    bs_per_dev = max(1, micro_global // n_dev)
+    # With tensor parallelism the batch splits over dp groups only (the tp
+    # devices of a group share one batch shard).
+    n_dp = max(1, n_dev // max(1, getattr(args, "tensor_parallel", 1)))
+    bs_per_dev = max(1, micro_global // n_dp)
     # Reference-style per-module JSON configs: when --bert_model /
     # --visual_model / ... name a directory containing <kind>_config.json,
     # load it (reference until_config.py:40-99); CLI layer flags override
@@ -390,7 +398,15 @@ def make_trainer(args, model, n_train_batches: int, logger):
     from univl_tpu.train.trainer import Trainer
 
     n_dev = args.n_gpu or len(jax.devices())
-    mesh = make_mesh(n_dev)
+    tp = max(1, getattr(args, "tensor_parallel", 1))
+    if tp > 1:
+        from univl_tpu.parallel.tp import make_mesh_2d
+
+        if n_dev % tp:
+            raise ValueError(f"--tensor_parallel {tp} must divide mesh size {n_dev}")
+        mesh = make_mesh_2d(n_dev // tp, tp)
+    else:
+        mesh = make_mesh(n_dev)
     t_total = n_train_batches * args.epochs
     tx = make_univl_optimizer(
         lr=args.lr,
@@ -404,7 +420,8 @@ def make_trainer(args, model, n_train_batches: int, logger):
     trainer = Trainer(
         model, tx, mesh, grad_accum_steps=args.gradient_accumulation_steps
     )
-    logger.info("mesh: %d device(s); t_total=%d", n_dev, t_total)
+    logger.info("mesh: %d device(s) (dp=%d, tp=%d); t_total=%d",
+                n_dev, n_dev // tp, tp, t_total)
     return trainer
 
 

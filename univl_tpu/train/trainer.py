@@ -12,6 +12,11 @@ main_pretrain.py:310-357) with a single compiled program per step:
     (reference divides loss by gradient_accumulation_steps and steps every
     N micro-batches, main_task_retrieval.py:339-353)
   - params replicated; optimizer update identical on every device
+
+With a 2-D (dp, tp) mesh (parallel/tp.py, --tensor_parallel) the shard_map
+stays manual over dp only and tp is an auto axis: GSPMD partitions the model
+body along Megatron param shardings and the optimizer moments shard with the
+params. tests/test_tp.py pins dp×tp ≡ dp-only equivalence.
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from univl_tpu.parallel.mesh import DP_AXIS
+from univl_tpu.parallel.tp import mesh_tp_size, state_shardings
 
 
 @struct.dataclass
@@ -52,6 +58,11 @@ class Trainer:
         self.tx = tx
         self.mesh = mesh
         self.grad_accum_steps = grad_accum_steps
+        # Tensor parallelism: with a 2-D (dp, tp) mesh the shard_map stays
+        # manual over dp only (preserving per-device-negatives loss
+        # semantics) and tp is an auto axis — GSPMD partitions the model
+        # along the Megatron param shardings (parallel/tp.py).
+        self.tp_size = mesh_tp_size(mesh)
         self._train_step, self._train_steps = self._build_train_step(donate)
 
     # ------------------------------------------------------------ #
@@ -66,7 +77,14 @@ class Trainer:
         params = variables["params"]
         opt_state = self.tx.init(params)
         state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros([], jnp.int32))
-        # Replicate across the mesh.
+        if self.tp_size > 1:
+            p_sh, o_sh = state_shardings(self.tx, params, opt_state, self.mesh)
+            shardings = TrainState(
+                params=p_sh, opt_state=o_sh,
+                step=NamedSharding(self.mesh, P()),
+            )
+            return jax.device_put(state, shardings)
+        # Pure DP: replicate across the mesh.
         repl = NamedSharding(self.mesh, P())
         return jax.device_put(state, repl)
 
@@ -134,6 +152,9 @@ class Trainer:
             in_specs=(P(), P(), P(), P(None, DP_AXIS), P()),
             out_specs=(P(), P(), P()),
             check_vma=False,
+            # With a (dp, tp) mesh only dp is manual; tp stays an auto axis
+            # so GSPMD partitions the model body along the param shardings.
+            **({"axis_names": frozenset({DP_AXIS})} if self.tp_size > 1 else {}),
         )
 
         @functools.partial(
