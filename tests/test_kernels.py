@@ -90,6 +90,69 @@ def test_fused_ffn_matches_reference(rng, N):
         )
 
 
+@pytest.mark.parametrize("N", [256, 300])  # 300 exercises row padding
+def test_fused_ffn_block_matches_reference(rng, N):
+    """fused_ffn_block (FFN + dropout + residual + LN in one kernel) at
+    rate=0 against the unfused rounding-schedule oracle, fwd + custom VJP
+    incl. the LN scale/bias grads (per-tile partial-sum outputs). The
+    rate>0 path needs the hardware PRNG (interpret mode returns zero bits)
+    and is validated on TPU via tools/tpu_checks.py."""
+    from univl_tpu.kernels.ffn import ffn_block_reference, fused_ffn_block
+
+    H, F = 256, 512
+    x = jnp.asarray(rng.randn(N, H), jnp.float32)
+    w1 = jnp.asarray(rng.randn(H, F) * 0.02, jnp.float32)
+    b1 = jnp.asarray(rng.randn(F) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.randn(F, H) * 0.02, jnp.float32)
+    b2 = jnp.asarray(rng.randn(H) * 0.01, jnp.float32)
+    scale = jnp.asarray(rng.rand(H) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(H) * 0.1, jnp.float32)
+
+    y = fused_ffn_block(x, w1, b1, w2, b2, scale, bias, jnp.int32(0), 0.0, 1e-12)
+    y_ref = ffn_block_reference(x, w1, b1, w2, b2, scale, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+    def loss_fused(*a):
+        return jnp.sum(
+            jnp.sin(fused_ffn_block(*a, jnp.int32(0), 0.0, 1e-12))
+        )
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(ffn_block_reference(*a)))
+
+    args = (x, w1, b1, w2, b2, scale, bias)
+    gf = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for a, b in zip(gf, gr):
+        s = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b) / s, rtol=2e-5, atol=2e-5
+        )
+
+
+def test_fused_ffn_block_layer_param_tree_and_output(rng, monkeypatch):
+    """use_fused_ffn='block' keeps the exact param tree of the unfused
+    layer (checkpoint contract) and computes the same function at
+    deterministic eval (dropout off)."""
+    from univl_tpu.nn.layers import TransformerLayer, additive_mask_bias
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    kw = dict(hidden_size=128, num_heads=4, intermediate_size=256,
+              dropout_rate=0.0, attn_dropout_rate=0.0)
+    x = jnp.asarray(rng.randn(2, 8, 128), jnp.float32)
+    bias = additive_mask_bias(jnp.ones((2, 8), jnp.int32))
+
+    unfused = TransformerLayer(use_fused_ffn=False, **kw)
+    block = TransformerLayer(use_fused_ffn="block", **kw)
+    p0 = unfused.init(jax.random.key(0), x, bias, True)
+    p1 = block.init(jax.random.key(0), x, bias, True)
+    assert jax.tree.map(jnp.shape, p0) == jax.tree.map(jnp.shape, p1)
+
+    out0 = unfused.apply(p0, x, bias, True)
+    out1 = block.apply(p0, x, bias, True)  # unfused params in the block layer
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), rtol=2e-5, atol=2e-5)
+
+
 def test_fused_ffn_layer_param_tree_and_output(rng, monkeypatch):
     """use_fused_ffn=True keeps the exact param tree of the unfused layer
     (checkpoint contract) and computes the same function."""

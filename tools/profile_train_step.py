@@ -4,7 +4,8 @@ Usage: python tools/profile_train_step.py <out_dir> [n_steps=3] [variant]
 
 variant: 'default' (bench config: fused train attention + bf16 Adam),
          'xla' (no Pallas), 'stage2' (stage-II pretrain micro-step,
-         VERDICT round-1 item 8).
+         VERDICT round-1 item 8), 'ftalign' (train_sim_after_cross bs 32,
+         both Pallas kernels — the docs/PERF.md 113 ms step).
 Then: python tools/hlo_top.py <out_dir> 25 <n_steps>
 """
 
@@ -49,6 +50,16 @@ def main():
             max_frames=64,
         )
         batch_kw = dict(with_caption=True, with_pretrain=True)
+    elif variant == "ftalign":
+        cfg = UniVLConfig.base(
+            compute_dtype="bfloat16" if on_tpu else "float32",
+            use_pallas=False,
+            use_train_pallas=on_tpu,
+            use_fused_ffn=on_tpu,
+            train_sim_after_cross=True,
+            batch_size_per_device=32,
+        )
+        batch_kw = {}
     else:
         cfg = UniVLConfig.base(
             compute_dtype="bfloat16" if on_tpu else "float32",

@@ -125,6 +125,86 @@ def check_train_attention_dropout(rate: float = 0.1) -> str:
     return "PASS"
 
 
+def check_ffn_block_dropout(rate: float = 0.5) -> str:
+    """rate>0 fused FFN block on hardware: (a) the dropout zeroes ~rate of
+    the FFN output before the residual add, (b) same seed => bit-identical
+    forward (determinism), (c) the backward regenerates the SAME mask
+    (db2 from jax.grad equals the oracle computed with the fwd-extracted
+    mask; a different bwd mask disagrees almost surely).
+
+    Mask extraction: the saved LN input s satisfies s - x = dropout(FFN(x)),
+    so (s - x == 0) at non-zero FFN outputs identifies dropped elements.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from univl_tpu.kernels.ffn import (
+        _ffn_block_fwd_call,
+        ffn_reference,
+        fused_ffn_block,
+    )
+
+    N, H, F = 512, 256, 512
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(N, H), jnp.float32)
+    w1 = jnp.asarray(rng.randn(H, F) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.randn(F) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.randn(F, H) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(H) * 0.01, jnp.float32)
+    scale = jnp.asarray(rng.rand(H) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(H) * 0.1, jnp.float32)
+    seed = jnp.asarray(777, jnp.int32)
+    eps = 1e-12
+
+    fwd = jax.jit(
+        lambda: _ffn_block_fwd_call(
+            x, w1, b1, w2, b2, scale, bias, seed, rate, eps, save=True
+        )
+    )
+    out1, (pre1, s1) = fwd()
+    out2, (_, s2) = fwd()
+    if not (np.asarray(out1) == np.asarray(out2)).all():
+        return "FAIL: same seed gave different forward outputs"
+
+    drop = np.asarray(s1) - np.asarray(x)  # dropout(FFN(x))
+    kept = drop != 0.0
+    frac_dropped = 1.0 - kept.mean()
+    if not (rate - 0.05 <= frac_dropped <= rate + 0.05):
+        return (
+            f"FAIL: dropped fraction {frac_dropped:.3f} not ~{rate} "
+            "(prng_random_bits may be returning degenerate bits)"
+        )
+
+    # (c) bwd mask regeneration via db2: db2 = colsum(ds * mask / (1-rate)).
+    g = jnp.asarray(rng.randn(N, H), jnp.float32)
+
+    def loss(b2_):
+        return jnp.sum(
+            fused_ffn_block(x, w1, b1, w2, b2_, scale, bias, seed, rate, eps)
+            .astype(jnp.float32) * g
+        )
+
+    db2 = np.asarray(jax.jit(jax.grad(loss))(b2), np.float32)
+
+    # oracle: same LN backward from the saved s, masked with the extracted
+    # keep mask (fp32 on host; TPU bf16 matmul quantization only perturbs
+    # s/pre, which both paths share)
+    sf = np.asarray(s1, np.float64)
+    u = sf.mean(-1, keepdims=True)
+    var = ((sf - u) ** 2).mean(-1, keepdims=True)
+    rstd = 1.0 / np.sqrt(var + eps)
+    xhat = (sf - u) * rstd
+    gs = np.asarray(g, np.float64) * np.asarray(scale, np.float64)
+    m1 = gs.mean(-1, keepdims=True)
+    m2 = (gs * xhat).mean(-1, keepdims=True)
+    ds = rstd * (gs - m1 - xhat * m2)
+    db2_expect = (ds * kept / (1.0 - rate)).sum(0)
+    err = np.abs(db2 - db2_expect).max() / max(1.0, np.abs(db2_expect).max())
+    if err > 0.02:
+        return f"FAIL: bwd db2 deviates from fwd-mask oracle (rel {err:.3f})"
+    return "PASS"
+
+
 def main() -> int:
     import jax
 
@@ -136,6 +216,7 @@ def main() -> int:
     for name, fn in (
         ("beam_reorder_groups_inplace bit-identity", check_beam_reorder),
         ("train_attention in-kernel dropout", check_train_attention_dropout),
+        ("ffn_block in-kernel dropout", check_ffn_block_dropout),
     ):
         try:
             res = fn()

@@ -165,10 +165,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "dropout bits use the TPU PRNG, not the jax.random "
                         "stream (docs/PERF.md)")
     p.add_argument("--fused_ffn", type=str, default="xla",
-                   choices=["xla", "pallas", "auto"],
+                   choices=["xla", "pallas", "auto", "block", "auto_block"],
                    help="FFN impl: pallas = fused dense->GELU->dense kernel "
                         "(wins at FT-Align/rescoring row counts); auto = "
-                        "only at >= 16384 rows (docs/PERF.md)")
+                        "only at >= 16384 rows; block/auto_block also fold "
+                        "dropout+residual+LayerNorm into the kernel "
+                        "(dropout bits then use the TPU PRNG) (docs/PERF.md)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_policy", type=str, default="full",
                    choices=["full", "dots"],
@@ -294,7 +296,8 @@ def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
             if on_tpu else False
         ),
         use_fused_ffn=(
-            {"xla": False, "pallas": True, "auto": "auto"}[
+            {"xla": False, "pallas": True, "auto": "auto",
+             "block": "block", "auto_block": "auto_block"}[
                 getattr(args, "fused_ffn", "xla")]
             if on_tpu else False
         ),

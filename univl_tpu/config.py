@@ -150,7 +150,10 @@ class UniVLConfig:
     # activations in VMEM with a recompute backward. Wins only when the
     # flattened row count is large (FT-Align pair-expanded cross tower /
     # eval rescoring); False = XLA (default), True = always, "auto" = only
-    # at >= 16384 rows (docs/PERF.md).
+    # at >= 16384 rows. "block"/"auto_block" additionally fold the
+    # dropout + residual + LayerNorm epilogue into the kernel (dropout
+    # bits then come from the TPU PRNG, like use_train_pallas)
+    # (docs/PERF.md).
     use_fused_ffn: object = False
     remat: bool = False  # jax.checkpoint on encoder layers
     # Roll the tower layers into one nn.scan (stacked params, one traced

@@ -38,6 +38,7 @@ dims, kernels/attention.py docstring).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -250,6 +251,302 @@ def _fused_ffn_bwd(res, g):
 
 
 fused_ffn.defvjp(_fused_ffn_fwd, _fused_ffn_bwd)
+
+
+# --------------------------------------------------------------------- #
+# Fused FFN BLOCK: FFN -> dropout -> +residual -> LayerNorm in one kernel
+# --------------------------------------------------------------------- #
+# Folds the whole BertOutput epilogue (module_bert.py:239-250: dense ->
+# dropout -> add residual -> TF LayerNorm) into the fused FFN, so the FFN
+# output never round-trips HBM and the dropout mask / LN stats are never
+# materialized (the round-2 FT-Align profile shows ~12-14 ms of exactly
+# these elementwise round-trips per step, docs/PERF.md). Dropout bits come
+# from the per-core TPU PRNG seeded with (seed + program_id) and are
+# regenerated bit-identically in the backward (same scheme as
+# kernels/train_attention.py). LN math mirrors LayerNormTF exactly:
+# stats in fp32, eps inside rsqrt, scale/bias in fp32, output cast to the
+# compute dtype.
+
+
+def _dropout_keep(shape, rate: float):
+    """uint32 keep-mask: keep where bits >= rate * 2^32 (zero bits in
+    interpret mode => rate>0 drops everything there; CI tests use rate=0,
+    the rate>0 path is validated on hardware via tools/tpu_checks.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    return bits >= threshold
+
+
+def _ffn_block_core(x, w1, b1, w2, b2, rate, pl, pltpu, seed_ref):
+    """Shared fwd math: returns (pre [T,F] bf16, s [T,H] bf16)."""
+    pre = _pre_act(x, w1, b1)
+    h = _gelu_f32(pre.astype(jnp.float32)).astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, w2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + b2
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _dropout_keep(y.shape, rate)
+        y = jnp.where(
+            keep, (y.astype(jnp.float32) * (1.0 / (1.0 - rate))).astype(y.dtype),
+            jnp.zeros_like(y),
+        )
+    return pre, y + x
+
+
+def _ln_rows_f32(s):
+    """Row stats of LayerNormTF: (s_f32, mean, rstd-less var). Returns
+    (sf, u, var) with u/var keepdims [T,1] fp32."""
+    sf = s.astype(jnp.float32)
+    u = jnp.mean(sf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(sf - u), axis=-1, keepdims=True)
+    return sf, u, var
+
+
+def _ffn_block_fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                          g_ref, bt_ref, o_ref, *, rate, eps, save):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = x_ref[:]
+    pre, s = _ffn_block_core(
+        x, w1_ref[:], b1_ref[0], w2_ref[:], b2_ref[0], rate, pl, pltpu, seed_ref
+    )
+    sf, u, var = _ln_rows_f32(s)
+    rstd = jax.lax.rsqrt(var + eps)
+    out = ((sf - u) * rstd) * g_ref[0] + bt_ref[0]
+    if save:
+        o_ref[0][:] = out.astype(x.dtype)
+        o_ref[1][:] = pre
+        o_ref[2][:] = s
+    else:
+        o_ref[0][:] = out.astype(x.dtype)
+
+
+def _ffn_block_bwd_kernel(seed_ref, s_ref, g_ref, pre_ref, w1_ref, w2_ref,
+                          sc_ref, dx_ref, dpre_ref, h_ref, dffn_ref,
+                          dsc_ref, dbt_ref, *, rate, eps):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = g_ref[:].astype(jnp.float32)  # [T, H]
+    sf, u, var = _ln_rows_f32(s_ref[:])
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (sf - u) * rstd
+
+    # Per-tile partial sums for dscale/dbias. Blocks must satisfy the
+    # (8, 128) tiling rule, so each tile writes an [8, H] block with the
+    # sum in row 0 and zero rows below; XLA reduces over all rows.
+    zeros7 = jnp.zeros((7, g.shape[1]), jnp.float32)
+    dbt_ref[:] = jnp.concatenate(
+        [jnp.sum(g, axis=0, keepdims=True), zeros7], axis=0
+    )
+    dsc_ref[:] = jnp.concatenate(
+        [jnp.sum(g * xhat, axis=0, keepdims=True), zeros7], axis=0
+    )
+
+    gs = g * sc_ref[0]
+    m1 = jnp.mean(gs, axis=-1, keepdims=True)
+    m2 = jnp.mean(gs * xhat, axis=-1, keepdims=True)
+    ds = rstd * (gs - m1 - xhat * m2)  # fp32 [T, H], d(LN input)
+
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _dropout_keep(ds.shape, rate)
+        dffn = jnp.where(keep, ds * (1.0 / (1.0 - rate)), jnp.zeros_like(ds))
+    else:
+        dffn = ds
+    dffn = dffn.astype(dx_ref.dtype)
+    dffn_ref[:] = dffn
+
+    pre = pre_ref[:].astype(jnp.float32)
+    h_ref[:] = _gelu_f32(pre).astype(dx_ref.dtype)
+    dh = jax.lax.dot_general(  # dffn @ W2^T -> [T, F]
+        dffn, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpre = (dh * _gelu_grad_f32(pre)).astype(dx_ref.dtype)
+    dpre_ref[:] = dpre
+    dx_ffn = jax.lax.dot_general(  # dpre @ W1^T -> [T, H]
+        dpre, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[:] = (ds + dx_ffn).astype(dx_ref.dtype)
+
+
+def _ffn_block_fwd_call(x, w1, b1, w2, b2, scale, bias, seed, rate, eps,
+                        save: bool):
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, F = w1.shape
+    xp, n = _pad_rows(x, ROW_TILE)
+    np_ = xp.shape[0]
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    outs = [jax.ShapeDtypeStruct((np_, H), x.dtype)]
+    out_specs = [_row_spec(H, pl, pltpu)]
+    if save:
+        outs += [
+            jax.ShapeDtypeStruct((np_, F), x.dtype),  # pre
+            jax.ShapeDtypeStruct((np_, H), x.dtype),  # s (LN input)
+        ]
+        out_specs += [_row_spec(F, pl, pltpu), _row_spec(H, pl, pltpu)]
+
+    def kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, bt_ref,
+               *o_refs):
+        _ffn_block_fwd_kernel(
+            seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, bt_ref,
+            o_refs, rate=rate, eps=eps, save=save,
+        )
+
+    res = pl.pallas_call(
+        kernel,
+        out_shape=tuple(outs) if save else outs[0],
+        out_specs=tuple(out_specs) if save else out_specs[0],
+        grid=(np_ // ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _row_spec(H, pl, pltpu),
+            _const_spec((H, F), pl, pltpu),
+            _const_spec((1, F), pl, pltpu),
+            _const_spec((F, H), pl, pltpu),
+            _const_spec((1, H), pl, pltpu),
+            _const_spec((1, H), pl, pltpu),
+            _const_spec((1, H), pl, pltpu),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * np_ * H * F,
+            bytes_accessed=(3 * np_ * H + 2 * H * F) * x.dtype.itemsize,
+            transcendentals=np_ * F,
+        ),
+    )(seed_arr, xp, w1, b1.reshape(1, F), w2, b2.reshape(1, H),
+      scale.astype(jnp.float32).reshape(1, H),
+      bias.astype(jnp.float32).reshape(1, H))
+    if not save:
+        return res[:n], None
+    out, pre, s = res
+    return out[:n], (pre, s)
+
+
+def _ffn_block_bwd_call(res, g, rate, eps):
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, w1, w2, scale, seed, pre, s = res
+    H, F = w1.shape
+    g = g.astype(x.dtype)
+    gp, n = _pad_rows(g, ROW_TILE)
+    np_ = gp.shape[0]
+    sp_, _ = _pad_rows(s, ROW_TILE) if s.shape[0] != np_ else (s, n)
+    n_tiles = np_ // ROW_TILE
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    part_spec = pl.BlockSpec((8, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dx, dpre, h, dffn, dsc_p, dbt_p = pl.pallas_call(
+        functools.partial(_ffn_block_bwd_kernel, rate=rate, eps=eps),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, H), x.dtype),   # dx
+            jax.ShapeDtypeStruct((np_, F), x.dtype),   # dpre
+            jax.ShapeDtypeStruct((np_, F), x.dtype),   # h = gelu(pre)
+            jax.ShapeDtypeStruct((np_, H), x.dtype),   # dffn (dense2 out grad)
+            jax.ShapeDtypeStruct((n_tiles * 8, H), jnp.float32),  # dscale partials
+            jax.ShapeDtypeStruct((n_tiles * 8, H), jnp.float32),  # dbias partials
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _row_spec(H, pl, pltpu),   # s
+            _row_spec(H, pl, pltpu),   # g
+            _row_spec(F, pl, pltpu),   # pre
+            _const_spec((H, F), pl, pltpu),
+            _const_spec((F, H), pl, pltpu),
+            _const_spec((1, H), pl, pltpu),  # scale
+        ],
+        out_specs=(
+            _row_spec(H, pl, pltpu),
+            _row_spec(F, pl, pltpu),
+            _row_spec(F, pl, pltpu),
+            _row_spec(H, pl, pltpu),
+            part_spec,
+            part_spec,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * np_ * H * F,
+            bytes_accessed=(4 * np_ * (H + F) + 2 * H * F) * x.dtype.itemsize,
+            transcendentals=2 * np_ * F,
+        ),
+    )(seed_arr, sp_, gp, pre, w1, w2,
+      scale.astype(jnp.float32).reshape(1, H))
+
+    # dW / db / dscale / dbias as XLA tall reductions (~92% MXU / trivial).
+    xp, _ = _pad_rows(x, ROW_TILE)
+    dw1 = jax.lax.dot_general(
+        xp, dpre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w1.dtype)
+    dw2 = jax.lax.dot_general(
+        h, dffn, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w2.dtype)
+    db1 = jnp.sum(dpre.astype(jnp.float32), axis=0).astype(w1.dtype)
+    db2 = jnp.sum(dffn.astype(jnp.float32), axis=0).astype(w2.dtype)
+    dscale = jnp.sum(dsc_p, axis=0)
+    dbias = jnp.sum(dbt_p, axis=0)
+    return dx[:n], dw1, db1, dw2, db2, dscale, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_ffn_block(x, w1, b1, w2, b2, scale, bias, seed, rate, eps):
+    """LayerNormTF(dropout(FFN(x)) + x) in one kernel (BertOutput epilogue
+    folded into the fused FFN; reference: module_bert.py:214-250).
+
+    x: [N, H] compute dtype; w1/b1/w2/b2 compute dtype; scale/bias fp32 LN
+    params; seed: traced int32 scalar (dropout bits regenerate from
+    (seed + row-tile index) — same scheme as fused_train_attention, same
+    stream divergence caveat vs the XLA path); rate, eps: static. The FFN
+    intermediate, the dropout mask and the pre-LN sum never reach HBM in
+    the forward (the pre-activation and LN input are saved only under
+    autodiff, for the backward)."""
+    out, _ = _ffn_block_fwd_call(
+        x, w1, b1, w2, b2, scale, bias, seed, rate, eps, save=False
+    )
+    return out
+
+
+def _ffn_block_fwd(x, w1, b1, w2, b2, scale, bias, seed, rate, eps):
+    out, (pre, s) = _ffn_block_fwd_call(
+        x, w1, b1, w2, b2, scale, bias, seed, rate, eps, save=True
+    )
+    return out, (x, w1, w2, scale, seed, pre, s)
+
+
+def _ffn_block_bwd(rate, eps, res, g):
+    dx, dw1, db1, dw2, db2, dscale, dbias = _ffn_block_bwd_call(
+        res, g, rate, eps
+    )
+    return dx, dw1, db1, dw2, db2, dscale, dbias, None
+
+
+fused_ffn_block.defvjp(_ffn_block_fwd, _ffn_block_bwd)
+
+
+def ffn_block_reference(x, w1, b1, w2, b2, scale, bias, eps=1e-12):
+    """Unfused oracle with the same rounding schedule, rate=0 (for tests)."""
+    y = ffn_reference(x, w1, b1, w2, b2)
+    s = y + x
+    sf = s.astype(jnp.float32)
+    u = jnp.mean(sf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(sf - u), axis=-1, keepdims=True)
+    out = ((sf - u) * jax.lax.rsqrt(var + eps)) * scale.astype(jnp.float32)
+    out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def ffn_reference(x, w1, b1, w2, b2):

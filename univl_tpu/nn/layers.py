@@ -287,19 +287,43 @@ class ResidualOutput(nn.Module):
         return LayerNormTF(name="ln")(h + residual)
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNormTF-compatible params without applying the norm
+    (fused-FFN-block path: the LN runs inside the Pallas kernel)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return scale, bias
+
+
 class FusedFFNOutput(nn.Module):
     """Fused-FFN replacement for the (intermediate dense -> GELU ->
     ResidualOutput) pair. Declares the same param tree as ResidualOutput
     (``dense``, ``ln``) so checkpoints are interchangeable with the unfused
     path; the two matmuls + GELU run inside one Pallas kernel
     (kernels/ffn.py) and the [N, intermediate] activation never exists in
-    HBM."""
+    HBM.
+
+    ``fold_epilogue`` additionally folds dropout + residual + LayerNorm
+    into the kernel (kernels/ffn.py:fused_ffn_block): the FFN output, the
+    dropout mask and the pre-LN sum never round-trip HBM either. Dropout
+    bits then come from the TPU PRNG (same stream-divergence caveat as the
+    fused training attention, docs/PERF.md)."""
 
     in_features: int  # intermediate size
     features: int  # hidden size
     dropout_rate: float = 0.1
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
+    fold_epilogue: bool = False
 
     @nn.compact
     def __call__(
@@ -309,13 +333,28 @@ class FusedFFNOutput(nn.Module):
         b1: jax.Array,
         deterministic: bool = True,
     ) -> jax.Array:
-        from univl_tpu.kernels.ffn import fused_ffn
+        from univl_tpu.kernels.ffn import fused_ffn, fused_ffn_block
 
         k2, b2 = _LinearParams(
             self.in_features, self.features, self.initializer_range, name="dense"
         )()
         dt = self.dtype
         b, l, h = x.shape
+        if self.fold_epilogue:
+            scale, bias = _LNParams(self.features, name="ln")()
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
+            else:
+                seed = jnp.int32(0)
+            return fused_ffn_block(
+                x.reshape(-1, h).astype(dt),
+                k1.astype(dt), b1.astype(dt), k2.astype(dt), b2.astype(dt),
+                scale, bias, seed, rate, LN_EPS,
+            ).reshape(b, l, h)
         y = fused_ffn(
             x.reshape(-1, h).astype(dt),
             k1.astype(dt), b1.astype(dt), k2.astype(dt), b2.astype(dt),
@@ -348,7 +387,7 @@ class TransformerLayer(nn.Module):
 
     def _fused_ffn_active(self, rows: int) -> bool:
         impl = self.use_fused_ffn
-        if impl == "auto":
+        if impl in ("auto", "auto_block"):
             impl = rows >= 16384
         return (
             bool(impl)
@@ -357,6 +396,11 @@ class TransformerLayer(nn.Module):
             and self.intermediate_size % 128 == 0
             and jax.default_backend() == "tpu"
         )
+
+    def _fold_epilogue(self) -> bool:
+        # "block"/"auto_block": also fold dropout+residual+LN into the
+        # kernel (kernels/ffn.py:fused_ffn_block)
+        return self.use_fused_ffn in ("block", "auto_block")
 
     @nn.compact
     def __call__(
@@ -393,6 +437,7 @@ class TransformerLayer(nn.Module):
                 self.dropout_rate,
                 self.initializer_range,
                 self.dtype,
+                fold_epilogue=self._fold_epilogue(),
                 name="output",
             )(attn_out, k1, b1, deterministic=deterministic)
         else:
