@@ -130,6 +130,42 @@ def test_fused_ffn_block_matches_reference(rng, N):
         )
 
 
+@pytest.mark.parametrize("N", [256, 300])  # 300 exercises row padding
+def test_fused_dense_block_matches_reference(rng, N):
+    """fused_dense_block (attention-output epilogue: dense + dropout +
+    separate-tensor residual + LN) at rate=0, fwd + custom VJP."""
+    from univl_tpu.kernels.ffn import dense_block_reference, fused_dense_block
+
+    H = 256
+    x = jnp.asarray(rng.randn(N, H), jnp.float32)
+    r = jnp.asarray(rng.randn(N, H), jnp.float32)
+    w = jnp.asarray(rng.randn(H, H) * 0.02, jnp.float32)
+    b = jnp.asarray(rng.randn(H) * 0.01, jnp.float32)
+    scale = jnp.asarray(rng.rand(H) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(H) * 0.1, jnp.float32)
+
+    y = fused_dense_block(x, r, w, b, scale, bias, jnp.int32(0), 0.0, 1e-12)
+    y_ref = dense_block_reference(x, r, w, b, scale, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+    args = (x, r, w, b, scale, bias)
+    gf = jax.grad(
+        lambda *a: jnp.sum(
+            jnp.sin(fused_dense_block(*a, jnp.int32(0), 0.0, 1e-12))
+        ),
+        argnums=tuple(range(6)),
+    )(*args)
+    gr = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(dense_block_reference(*a))),
+        argnums=tuple(range(6)),
+    )(*args)
+    for a, b_ in zip(gf, gr):
+        s = max(1.0, float(jnp.max(jnp.abs(b_))))
+        np.testing.assert_allclose(
+            np.asarray(a) / s, np.asarray(b_) / s, rtol=2e-5, atol=2e-5
+        )
+
+
 def test_fused_ffn_block_layer_param_tree_and_output(rng, monkeypatch):
     """use_fused_ffn='block' keeps the exact param tree of the unfused
     layer (checkpoint contract) and computes the same function at

@@ -205,6 +205,61 @@ def check_ffn_block_dropout(rate: float = 0.5) -> str:
     return "PASS"
 
 
+def check_dense_block_dropout(rate: float = 0.5) -> str:
+    """rate>0 fused dense block (attention-output epilogue): dropout mass
+    ~rate, deterministic per seed, bwd regenerates the fwd mask (db via
+    the saved-s oracle, same scheme as check_ffn_block_dropout)."""
+    import jax
+    import jax.numpy as jnp
+
+    from univl_tpu.kernels.ffn import _dense_block_fwd_call, fused_dense_block
+
+    N, H = 512, 256
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(N, H), jnp.float32)
+    r = jnp.asarray(rng.randn(N, H), jnp.float32)
+    w = jnp.asarray(rng.randn(H, H) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.randn(H) * 0.01, jnp.float32)
+    scale = jnp.asarray(rng.rand(H) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(H) * 0.1, jnp.float32)
+    seed = jnp.asarray(4242, jnp.int32)
+    eps = 1e-12
+
+    fwd = jax.jit(
+        lambda: _dense_block_fwd_call(x, r, w, b, scale, bias, seed, rate,
+                                      eps, save=True)
+    )
+    out1, s1 = fwd()
+    out2, _ = fwd()
+    if not (np.asarray(out1) == np.asarray(out2)).all():
+        return "FAIL: same seed gave different forward outputs"
+    kept = (np.asarray(s1) - np.asarray(r)) != 0.0
+    frac_dropped = 1.0 - kept.mean()
+    if not (rate - 0.05 <= frac_dropped <= rate + 0.05):
+        return f"FAIL: dropped fraction {frac_dropped:.3f} not ~{rate}"
+
+    g = jnp.asarray(rng.randn(N, H), jnp.float32)
+    db = np.asarray(jax.jit(jax.grad(
+        lambda b_: jnp.sum(
+            fused_dense_block(x, r, w, b_, scale, bias, seed, rate, eps)
+            .astype(jnp.float32) * g
+        )
+    ))(b), np.float32)
+    sf = np.asarray(s1, np.float64)
+    u = sf.mean(-1, keepdims=True)
+    var = ((sf - u) ** 2).mean(-1, keepdims=True)
+    rstd = 1.0 / np.sqrt(var + eps)
+    xhat = (sf - u) * rstd
+    gs = np.asarray(g, np.float64) * np.asarray(scale, np.float64)
+    ds = rstd * (gs - gs.mean(-1, keepdims=True)
+                 - xhat * (gs * xhat).mean(-1, keepdims=True))
+    db_expect = (ds * kept / (1.0 - rate)).sum(0)
+    err = np.abs(db - db_expect).max() / max(1.0, np.abs(db_expect).max())
+    if err > 0.02:
+        return f"FAIL: bwd db deviates from fwd-mask oracle (rel {err:.3f})"
+    return "PASS"
+
+
 def main() -> int:
     import jax
 
@@ -217,6 +272,7 @@ def main() -> int:
         ("beam_reorder_groups_inplace bit-identity", check_beam_reorder),
         ("train_attention in-kernel dropout", check_train_attention_dropout),
         ("ffn_block in-kernel dropout", check_ffn_block_dropout),
+        ("dense_block in-kernel dropout", check_dense_block_dropout),
     ):
         try:
             res = fn()

@@ -537,6 +537,224 @@ def _ffn_block_bwd(rate, eps, res, g):
 fused_ffn_block.defvjp(_ffn_block_fwd, _ffn_block_bwd)
 
 
+# --------------------------------------------------------------------- #
+# Fused DENSE block: dense -> dropout -> +residual -> LayerNorm
+# --------------------------------------------------------------------- #
+# The attention-output epilogue (BertSelfOutput, module_bert.py:200-211):
+# same fold as fused_ffn_block but with a single [H, H] projection and a
+# residual that is a SEPARATE tensor (the attention input), not the matmul
+# input. Shares the dropout/LN machinery above.
+
+
+def _dense_block_fwd_kernel(seed_ref, x_ref, r_ref, w_ref, b_ref, g_ref,
+                            bt_ref, o_refs, *, rate, eps, save):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = x_ref[:]
+    y = jax.lax.dot_general(
+        x, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + b_ref[0]
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _dropout_keep(y.shape, rate)
+        y = jnp.where(
+            keep, (y.astype(jnp.float32) * (1.0 / (1.0 - rate))).astype(y.dtype),
+            jnp.zeros_like(y),
+        )
+    s = y + r_ref[:]
+    sf, u, var = _ln_rows_f32(s)
+    rstd = jax.lax.rsqrt(var + eps)
+    out = ((sf - u) * rstd) * g_ref[0] + bt_ref[0]
+    o_refs[0][:] = out.astype(x.dtype)
+    if save:
+        o_refs[1][:] = s
+
+
+def _dense_block_bwd_kernel(seed_ref, s_ref, g_ref, w_ref, sc_ref,
+                            dx_ref, dy_ref, dr_ref, dsc_ref, dbt_ref,
+                            *, rate, eps):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = g_ref[:].astype(jnp.float32)
+    sf, u, var = _ln_rows_f32(s_ref[:])
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (sf - u) * rstd
+
+    zeros7 = jnp.zeros((7, g.shape[1]), jnp.float32)
+    dbt_ref[:] = jnp.concatenate(
+        [jnp.sum(g, axis=0, keepdims=True), zeros7], axis=0
+    )
+    dsc_ref[:] = jnp.concatenate(
+        [jnp.sum(g * xhat, axis=0, keepdims=True), zeros7], axis=0
+    )
+
+    gs = g * sc_ref[0]
+    m1 = jnp.mean(gs, axis=-1, keepdims=True)
+    m2 = jnp.mean(gs * xhat, axis=-1, keepdims=True)
+    ds = rstd * (gs - m1 - xhat * m2)
+
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _dropout_keep(ds.shape, rate)
+        dy = jnp.where(keep, ds * (1.0 / (1.0 - rate)), jnp.zeros_like(ds))
+    else:
+        dy = ds
+    dy = dy.astype(dx_ref.dtype)
+    dy_ref[:] = dy
+    dr_ref[:] = ds.astype(dx_ref.dtype)
+    dx_ref[:] = jax.lax.dot_general(  # dy @ W^T
+        dy, w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+
+
+def _dense_block_fwd_call(x, r, w, b, scale, bias, seed, rate, eps, save):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H = w.shape[0]
+    xp, n = _pad_rows(x, ROW_TILE)
+    rp, _ = _pad_rows(r, ROW_TILE)
+    np_ = xp.shape[0]
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    outs = [jax.ShapeDtypeStruct((np_, H), x.dtype)]
+    out_specs = [_row_spec(H, pl, pltpu)]
+    if save:
+        outs.append(jax.ShapeDtypeStruct((np_, H), x.dtype))
+        out_specs.append(_row_spec(H, pl, pltpu))
+
+    def kernel(seed_ref, x_ref, r_ref, w_ref, b_ref, g_ref, bt_ref, *o_refs):
+        _dense_block_fwd_kernel(
+            seed_ref, x_ref, r_ref, w_ref, b_ref, g_ref, bt_ref, o_refs,
+            rate=rate, eps=eps, save=save,
+        )
+
+    res = pl.pallas_call(
+        kernel,
+        out_shape=tuple(outs) if save else outs[0],
+        out_specs=tuple(out_specs) if save else out_specs[0],
+        grid=(np_ // ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _row_spec(H, pl, pltpu),
+            _row_spec(H, pl, pltpu),
+            _const_spec((H, H), pl, pltpu),
+            _const_spec((1, H), pl, pltpu),
+            _const_spec((1, H), pl, pltpu),
+            _const_spec((1, H), pl, pltpu),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * H * H,
+            bytes_accessed=(4 * np_ * H + H * H) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(seed_arr, xp, rp, w, b.reshape(1, H),
+      scale.astype(jnp.float32).reshape(1, H),
+      bias.astype(jnp.float32).reshape(1, H))
+    if not save:
+        return res[:n], None
+    out, s = res
+    return out[:n], s
+
+
+def _dense_block_bwd_call(res, g, rate, eps):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, w, scale, seed, s = res
+    H = w.shape[0]
+    g = g.astype(x.dtype)
+    gp, n = _pad_rows(g, ROW_TILE)
+    np_ = gp.shape[0]
+    n_tiles = np_ // ROW_TILE
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    part_spec = pl.BlockSpec((8, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dx, dy, dr, dsc_p, dbt_p = pl.pallas_call(
+        functools.partial(_dense_block_bwd_kernel, rate=rate, eps=eps),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, H), x.dtype),   # dx (matmul input)
+            jax.ShapeDtypeStruct((np_, H), x.dtype),   # dy (dense out grad)
+            jax.ShapeDtypeStruct((np_, H), x.dtype),   # dr (residual grad)
+            jax.ShapeDtypeStruct((n_tiles * 8, H), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, H), jnp.float32),
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _row_spec(H, pl, pltpu),   # s
+            _row_spec(H, pl, pltpu),   # g
+            _const_spec((H, H), pl, pltpu),
+            _const_spec((1, H), pl, pltpu),
+        ],
+        out_specs=(
+            _row_spec(H, pl, pltpu),
+            _row_spec(H, pl, pltpu),
+            _row_spec(H, pl, pltpu),
+            part_spec,
+            part_spec,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * H * H,
+            bytes_accessed=(5 * np_ * H + H * H) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(seed_arr, s, gp, w, scale.astype(jnp.float32).reshape(1, H))
+
+    xp, _ = _pad_rows(x, ROW_TILE)
+    dw = jax.lax.dot_general(
+        xp, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w.dtype)
+    db = jnp.sum(dy.astype(jnp.float32), axis=0).astype(w.dtype)
+    dscale = jnp.sum(dsc_p, axis=0)
+    dbias = jnp.sum(dbt_p, axis=0)
+    return dx[:n], dr[:n], dw, db, dscale, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_dense_block(x, r, w, b, scale, bias, seed, rate, eps):
+    """LayerNormTF(dropout(x @ W + b) + r) in one kernel (the BertSelfOutput
+    epilogue, module_bert.py:200-211). x: matmul input [N, H]; r: residual
+    [N, H] (a different tensor — the attention-block input). Same dropout
+    seeding/regeneration scheme as fused_ffn_block."""
+    out, _ = _dense_block_fwd_call(x, r, w, b, scale, bias, seed, rate, eps,
+                                   save=False)
+    return out
+
+
+def _dense_block_fwd(x, r, w, b, scale, bias, seed, rate, eps):
+    out, s = _dense_block_fwd_call(x, r, w, b, scale, bias, seed, rate, eps,
+                                   save=True)
+    return out, (x, w, scale, seed, s)
+
+
+def _dense_block_bwd(rate, eps, res, g):
+    dx, dr, dw, db, dscale, dbias = _dense_block_bwd_call(res, g, rate, eps)
+    return dx, dr, dw, db, dscale, dbias, None
+
+
+fused_dense_block.defvjp(_dense_block_fwd, _dense_block_bwd)
+
+
+def dense_block_reference(x, r, w, b, scale, bias, eps=1e-12):
+    """Unfused oracle with the same rounding schedule, rate=0 (for tests)."""
+    y = jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype) + b
+    s = y + r
+    sf = s.astype(jnp.float32)
+    u = jnp.mean(sf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(sf - u), axis=-1, keepdims=True)
+    out = ((sf - u) * jax.lax.rsqrt(var + eps)) * scale.astype(jnp.float32)
+    out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def ffn_block_reference(x, w1, b1, w2, b2, scale, bias, eps=1e-12):
     """Unfused oracle with the same rounding schedule, rate=0 (for tests)."""
     y = ffn_reference(x, w1, b1, w2, b2)

@@ -277,11 +277,38 @@ class ResidualOutput(nn.Module):
     dropout_rate: float = 0.1
     initializer_range: float = 0.02
     dtype: jnp.dtype = jnp.float32
+    # Fold dense -> dropout -> residual -> LN into one Pallas kernel
+    # (kernels/ffn.py:fused_dense_block) — set by TransformerLayer in
+    # --fused_ffn block mode at large row counts. Same param tree.
+    fold_epilogue: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, residual: jax.Array, deterministic: bool = True
     ) -> jax.Array:
+        if self.fold_epilogue:
+            from univl_tpu.kernels.ffn import fused_dense_block
+
+            in_f = x.shape[-1]
+            k, bb = _LinearParams(
+                in_f, self.features, self.initializer_range, name="dense"
+            )()
+            scale, bias = _LNParams(self.features, name="ln")()
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
+            else:
+                seed = jnp.int32(0)
+            dt = self.dtype
+            b_, l_, _ = x.shape
+            return fused_dense_block(
+                x.reshape(-1, in_f).astype(dt),
+                residual.reshape(-1, self.features).astype(dt),
+                k.astype(dt), bb.astype(dt), scale, bias, seed, rate, LN_EPS,
+            ).reshape(b_, l_, self.features)
         h = _dense(self.features, self.initializer_range, "dense", self.dtype)(x)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return LayerNormTF(name="ln")(h + residual)
@@ -416,11 +443,15 @@ class TransformerLayer(nn.Module):
             use_train_pallas=self.use_train_pallas,
             name="attention",
         )(x, None, bias, deterministic=deterministic)
+        rows = x.shape[0] * x.shape[1]
         attn_out = ResidualOutput(
             self.hidden_size,
             self.dropout_rate,
             self.initializer_range,
             self.dtype,
+            fold_epilogue=(
+                self._fold_epilogue() and self._fused_ffn_active(rows)
+            ),
             name="attention_output",
         )(attn, x, deterministic=deterministic)
 
