@@ -58,6 +58,35 @@ def test_tp_matches_dp():
     )[:5]
 
 
+def test_sp_matches_dp():
+    """Sequence parallelism on top of tp (dp=4 × tp=2 + SP constraints on
+    the residual stream, parallel/sp.py) must also reproduce the dp=4
+    trajectory — SP only moves where the tp collectives happen."""
+    cfg = UniVLConfig.tiny()
+    l_dp, p_dp = _run(make_mesh(4), cfg)
+    l_sp, p_sp = _run(make_mesh_2d(4, 2), cfg.replace(sequence_parallel=True))
+
+    np.testing.assert_allclose(l_dp, l_sp, rtol=1e-5, atol=1e-5)
+    diffs = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))), p_dp, p_sp)
+    assert max(jax.tree.leaves(diffs)) < 5e-5, sorted(
+        jax.tree_util.tree_flatten_with_path(diffs)[0], key=lambda kv: -kv[1]
+    )[:5]
+
+
+def test_sp_noop_without_tp_axis():
+    """The SP constraint self-gates: the same sequence_parallel=True model
+    runs unchanged in a plain single-device jit (eval paths, no mesh) and
+    produces the identical forward value."""
+    cfg = UniVLConfig.tiny()
+    batch = make_batch(cfg, np.random.RandomState(0))
+    m0 = UniVL(cfg)
+    m1 = UniVL(cfg.replace(sequence_parallel=True))
+    p = m0.init(jax.random.key(0), batch, deterministic=True)
+    out0 = jax.jit(lambda pp: m0.apply(pp, batch, deterministic=True)["loss"])(p)
+    out1 = jax.jit(lambda pp: m1.apply(pp, batch, deterministic=True)["loss"])(p)
+    np.testing.assert_allclose(float(out0), float(out1), rtol=0, atol=0)
+
+
 def test_tp_param_shardings():
     """The Megatron split lands on the right leaves: q/k/v + FFN-up
     column-parallel, attn-out + FFN-down row-parallel, vocab table and

@@ -1,0 +1,187 @@
+"""ZeRO-1 sharded-optimizer tests on the virtual 8-device CPU mesh.
+
+Pins the contract of train/zero1.py: the reduce-scatter + sharded-BertAdam
++ all-gather path must match the replicated
+optax.chain(clip_by_global_norm, bert_adam) trainer step for step, to fp32
+reduction-order tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from univl_tpu.config import UniVLConfig
+from univl_tpu.models.univl import UniVL
+from univl_tpu.parallel.mesh import DP_AXIS, make_mesh
+from univl_tpu.train.optimization import make_univl_optimizer
+from univl_tpu.train.trainer import Trainer
+from univl_tpu.train.zero1 import make_univl_zero1_optimizer
+
+from test_model import make_batch
+from test_trainer import global_batch
+
+
+def _trainers(cfg, mesh, accum=1, state_dtype=None, coef_lr=0.1):
+    model = UniVL(cfg)
+    n_dev = mesh.devices.size
+    kw = dict(lr=1e-3, t_total=50, warmup_proportion=0.02, coef_lr=coef_lr,
+              state_dtype=state_dtype)
+    t_ref = Trainer(model, make_univl_optimizer(**kw), mesh,
+                    grad_accum_steps=accum, donate=False)
+    t_z = Trainer(model, make_univl_zero1_optimizer(dp=n_dev, **kw), mesh,
+                  grad_accum_steps=accum, donate=False, zero1=True)
+    return t_ref, t_z
+
+
+def _assert_params_close(a, b, rtol=1e-5, atol=1e-7):
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree.map(np.asarray, b)))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            jax.tree.map(np.asarray, a)):
+        np.testing.assert_allclose(
+            leaf, flat_b[path], rtol=rtol, atol=atol,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_zero1_matches_replicated_multi_step(rng):
+    """4 steps (past warmup ramp-up so lr_t > 0, moments and the per-tensor
+    + global clips all live) — params and losses must track the replicated
+    optimizer."""
+    cfg = UniVLConfig.tiny()
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    t_ref, t_z = _trainers(cfg, mesh)
+
+    state_r = t_ref.init_state(jax.random.key(0), make_batch(cfg, rng))
+    state_z = t_z.init_state(jax.random.key(0), make_batch(cfg, rng))
+    _assert_params_close(state_r.params, state_z.params, rtol=0, atol=0)
+
+    for i in range(4):
+        batch = t_ref.shard_batch(
+            global_batch(cfg, np.random.RandomState(i), n_dev))
+        key = jax.random.key(i)
+        state_r, m_r = t_ref.train_step(state_r, batch, key)
+        state_z, m_z = t_z.train_step(state_z, batch, key)
+        np.testing.assert_allclose(
+            float(m_z["loss"]), float(m_r["loss"]), rtol=1e-6)
+
+    _assert_params_close(state_r.params, state_z.params)
+
+
+def test_zero1_state_is_sharded(rng):
+    """Optimizer moments live as flat [T_pad] vectors sharded over dp —
+    the per-device slice is 1/dp of the whole (the ZeRO memory claim)."""
+    cfg = UniVLConfig.tiny()
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    _, t_z = _trainers(cfg, mesh)
+    state = t_z.init_state(jax.random.key(0), make_batch(cfg, rng))
+
+    total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(state.params))
+    m = state.opt_state.m
+    assert m.ndim == 1 and m.shape[0] >= total
+    assert m.shape[0] < total + n_dev  # minimal padding
+    assert not m.sharding.is_fully_replicated
+    shard_shapes = {s.data.shape for s in m.addressable_shards}
+    assert shard_shapes == {(m.shape[0] // n_dev,)}
+
+    # and stays sharded after a step
+    batch = t_z.shard_batch(global_batch(cfg, rng, n_dev))
+    state, _ = t_z.train_step(state, batch, jax.random.key(1))
+    assert not state.opt_state.m.sharding.is_fully_replicated
+    assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
+
+
+def test_zero1_with_grad_accum(rng):
+    """accum=2 under zero1 == accum=2 replicated."""
+    cfg = UniVLConfig.tiny()
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    t_ref, t_z = _trainers(cfg, mesh, accum=2)
+
+    state_r = t_ref.init_state(jax.random.key(0), make_batch(cfg, rng))
+    state_z = t_z.init_state(jax.random.key(0), make_batch(cfg, rng))
+    for i in range(3):
+        batch = t_ref.shard_batch(
+            global_batch(cfg, np.random.RandomState(i), n_dev, accum=2))
+        key = jax.random.key(i)
+        state_r, _ = t_ref.train_step(state_r, batch, key)
+        state_z, _ = t_z.train_step(state_z, batch, key)
+    _assert_params_close(state_r.params, state_z.params)
+
+
+def test_zero1_train_steps_scan(rng):
+    """The K-steps-per-dispatch scan path carries the sharded state."""
+    cfg = UniVLConfig.tiny()
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    t_ref, t_z = _trainers(cfg, mesh)
+
+    K = 3
+    bs = [global_batch(cfg, np.random.RandomState(i), n_dev) for i in range(K)]
+    stacked = {k: jnp.stack([bs[i][k] for i in range(K)]) for k in bs[0]}
+    stacked = jax.tree.map(
+        lambda x: jax.device_put(
+            x, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(None, None, DP_AXIS))),
+        stacked,
+    )
+    root = jax.random.key(7)
+
+    state_r = t_ref.init_state(jax.random.key(0), make_batch(cfg, rng))
+    state_z = t_z.init_state(jax.random.key(0), make_batch(cfg, rng))
+    state_r, m_r = t_ref.train_steps(state_r, stacked, root)
+    state_z, m_z = t_z.train_steps(state_z, stacked, root)
+    np.testing.assert_allclose(
+        np.asarray(m_z["loss"]), np.asarray(m_r["loss"]), rtol=1e-6)
+    _assert_params_close(state_r.params, state_z.params)
+
+
+def test_zero1_checkpoint_roundtrip(rng, tmp_path):
+    """Save/restore of the sharded Zero1State (msgpack path) resumes the
+    exact trajectory: step - save - restore - step == step - step."""
+    from univl_tpu.checkpoint.io import restore_checkpoint, save_checkpoint
+
+    cfg = UniVLConfig.tiny()
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    _, t_z = _trainers(cfg, mesh)
+
+    state = t_z.init_state(jax.random.key(0), make_batch(cfg, rng))
+    b0 = t_z.shard_batch(global_batch(cfg, np.random.RandomState(0), n_dev))
+    b1 = t_z.shard_batch(global_batch(cfg, np.random.RandomState(1), n_dev))
+    state, _ = t_z.train_step(state, b0, jax.random.key(0))
+
+    path = str(tmp_path / "z1.msgpack")
+    save_checkpoint(path, state, metadata={"epoch": 0})
+    cont, _ = t_z.train_step(state, b1, jax.random.key(1))
+
+    _, t_z2 = _trainers(cfg, mesh)
+    template = t_z2.init_state(jax.random.key(2), make_batch(cfg, rng))
+    restored, meta = restore_checkpoint(path, template)
+    assert meta["epoch"] == 0
+    resumed, _ = t_z2.train_step(restored, b1, jax.random.key(1))
+    _assert_params_close(cont.params, resumed.params, rtol=1e-6, atol=1e-8)
+
+
+def test_zero1_bf16_state_close_to_fp32(rng):
+    """state_dtype=bfloat16 shards the bf16 moments too; trajectory stays
+    near the fp32-moment zero1 run (same bound class as the replicated
+    bf16-state knob, tests/test_optimizer.py)."""
+    cfg = UniVLConfig.tiny()
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    _, t_f32 = _trainers(cfg, mesh)
+    _, t_bf16 = _trainers(cfg, mesh, state_dtype="bfloat16")
+
+    s32 = t_f32.init_state(jax.random.key(0), make_batch(cfg, rng))
+    s16 = t_bf16.init_state(jax.random.key(0), make_batch(cfg, rng))
+    assert s16.opt_state.m.dtype == jnp.bfloat16
+    for i in range(3):
+        batch = t_f32.shard_batch(
+            global_batch(cfg, np.random.RandomState(i), n_dev))
+        key = jax.random.key(i)
+        s32, _ = t_f32.train_step(s32, batch, key)
+        s16, _ = t_bf16.train_step(s16, batch, key)
+    _assert_params_close(s32.params, s16.params, rtol=5e-2, atol=5e-4)

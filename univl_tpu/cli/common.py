@@ -123,6 +123,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "Megatron-sharded over tp (parallel/tp.py). Must "
                         "divide the mesh size. No reference equivalent "
                         "(the reference is DP-only).")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: reduce-scatter grads and shard the BertAdam "
+                        "state/update over dp (train/zero1.py). Divides "
+                        "optimizer memory and the HBM-bound update by the dp "
+                        "size; numerically equivalent to the replicated "
+                        "optimizer (tests/test_zero1.py). Requires "
+                        "--tensor_parallel 1. No reference equivalent.")
     p.add_argument("--cache_dir", type=str, default="")
     p.add_argument("--fp16", action="store_true", help="bfloat16 compute on TPU")
     p.add_argument("--fp16_opt_level", type=str, default="O1")  # parity, unused
@@ -181,6 +188,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="roll tower layers into one nn.scan: much faster "
                         "trace+compile, identical math; checkpoints convert "
                         "between layouts automatically")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="with --tensor_parallel > 1: shard the encoder "
+                        "LN/dropout/residual regions over the sequence dim "
+                        "(Megatron-SP; reduce-scatter + all-gather replace "
+                        "the tp all-reduces, parallel/sp.py)")
     p.add_argument("--hidden_size", type=int, default=768)
     p.add_argument("--num_attention_heads", type=int, default=12)
     p.add_argument("--intermediate_size", type=int, default=3072)
@@ -306,6 +318,7 @@ def build_config(args, stage_two: bool = False, task_type: str = "retrieval",
             if args.remat else False
         ),
         scan_layers=args.scan_layers,
+        sequence_parallel=bool(getattr(args, "sequence_parallel", False)),
     )
     # JSON configs replace the defaults, then CLI layer counts re-apply
     # (the reference's update_attr override order).
@@ -411,7 +424,8 @@ def make_trainer(args, model, n_train_batches: int, logger):
     else:
         mesh = make_mesh(n_dev)
     t_total = n_train_batches * args.epochs
-    tx = make_univl_optimizer(
+    zero1 = bool(getattr(args, "zero1", False))
+    opt_kw = dict(
         lr=args.lr,
         t_total=max(t_total, 1),
         warmup_proportion=args.warmup_proportion,
@@ -420,11 +434,20 @@ def make_trainer(args, model, n_train_batches: int, logger):
             args.adam_state_dtype if args.adam_state_dtype != "float32" else None
         ),
     )
+    if zero1:
+        from univl_tpu.train.zero1 import make_univl_zero1_optimizer
+
+        if tp > 1:
+            raise ValueError("--zero1 requires --tensor_parallel 1")
+        tx = make_univl_zero1_optimizer(dp=n_dev, **opt_kw)
+    else:
+        tx = make_univl_optimizer(**opt_kw)
     trainer = Trainer(
-        model, tx, mesh, grad_accum_steps=args.gradient_accumulation_steps
+        model, tx, mesh, grad_accum_steps=args.gradient_accumulation_steps,
+        zero1=zero1,
     )
-    logger.info("mesh: %d device(s) (dp=%d, tp=%d); t_total=%d",
-                n_dev, n_dev // tp, tp, t_total)
+    logger.info("mesh: %d device(s) (dp=%d, tp=%d, zero1=%s); t_total=%d",
+                n_dev, n_dev // tp, tp, zero1, t_total)
     return trainer
 
 

@@ -163,6 +163,11 @@ class UniVLConfig:
     # and checkpoint loading adapts automatically. The decoder stays unrolled
     # (3 layers; the KV-cache fast decoder reads its raw param paths).
     scan_layers: bool = False
+    # Megatron sequence parallelism (parallel/sp.py): with tensor
+    # parallelism, shard the encoder residual stream over the sequence dim
+    # in the LN/dropout regions (reduce-scatter + all-gather replace the tp
+    # all-reduces). Trace-time no-op without an auto tp mesh axis.
+    sequence_parallel: bool = False
 
     @property
     def stage_one(self) -> bool:

@@ -146,6 +146,7 @@ class UniVL(nn.Module):
             use_fused_ffn=c.use_fused_ffn,
             remat=c.remat,
             scan_layers=c.scan_layers,
+            seq_shard=c.sequence_parallel,
         )
         self.text = TextEncoder(
             c.bert, self.word_embed, self.text_pos_embed, name="text", **kw

@@ -408,6 +408,12 @@ class TransformerLayer(nn.Module):
     # row count is large enough for the [N, intermediate] activations to
     # dominate HBM traffic (the FT-Align / rescoring regime; docs/PERF.md).
     use_fused_ffn: object = False
+    # Megatron sequence parallelism (parallel/sp.py): constrain the residual
+    # stream to be sequence-sharded over the auto 'tp' mesh axis at both
+    # block boundaries, so GSPMD turns the tp all-reduces into
+    # reduce-scatter + all-gather and the LN/dropout/residual regions run
+    # on 1/tp of the sequence. Trace-time no-op without a tp axis.
+    seq_shard: bool = False
     # When used as an nn.scan body, __call__ must return (carry, per-step
     # output); the layer then returns (x, None) instead of x.
     scan_form: bool = False
@@ -454,6 +460,10 @@ class TransformerLayer(nn.Module):
             ),
             name="attention_output",
         )(attn, x, deterministic=deterministic)
+        if self.seq_shard:
+            from univl_tpu.parallel.sp import seq_constrain
+
+            attn_out = seq_constrain(attn_out)
 
         if self._fused_ffn_active(attn_out.shape[0] * attn_out.shape[1]):
             k1, b1 = _LinearParams(
@@ -484,6 +494,10 @@ class TransformerLayer(nn.Module):
                 self.dtype,
                 name="output",
             )(inter, attn_out, deterministic=deterministic)
+        if self.seq_shard:
+            from univl_tpu.parallel.sp import seq_constrain
+
+            out = seq_constrain(out)
         if self.scan_form:
             return out, None
         return out
@@ -518,6 +532,7 @@ class TransformerStack(nn.Module):
     # like FT-Align where the saved GELU activations dominate traffic)
     remat: object = False
     scan_layers: bool = False
+    seq_shard: bool = False  # sequence parallelism over tp (parallel/sp.py)
 
     @nn.compact
     def __call__(
@@ -543,7 +558,12 @@ class TransformerStack(nn.Module):
             use_pallas=self.use_pallas,
             use_train_pallas=self.use_train_pallas,
             use_fused_ffn=self.use_fused_ffn,
+            seq_shard=self.seq_shard,
         )
+        if self.seq_shard:
+            from univl_tpu.parallel.sp import seq_constrain
+
+            x = seq_constrain(x)
         if self.scan_layers:
             scanned = nn.scan(
                 layer_cls,

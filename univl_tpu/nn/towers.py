@@ -29,7 +29,7 @@ from univl_tpu.nn.layers import (
 
 
 def _stack(cfg, dtype, use_pallas, remat, scan_layers=False, num_layers=None,
-           use_fused_ffn=False, use_train_pallas=False):
+           use_fused_ffn=False, use_train_pallas=False, seq_shard=False):
     return TransformerStack(
         num_layers=num_layers if num_layers is not None else cfg.num_hidden_layers,
         hidden_size=cfg.hidden_size,
@@ -45,6 +45,7 @@ def _stack(cfg, dtype, use_pallas, remat, scan_layers=False, num_layers=None,
         use_fused_ffn=use_fused_ffn,
         remat=remat,
         scan_layers=scan_layers,
+        seq_shard=seq_shard,
         name="encoder",
     )
 
@@ -65,6 +66,7 @@ class TextEncoder(nn.Module):
     use_fused_ffn: object = False  # False | True | "auto"
     remat: bool = False
     scan_layers: bool = False
+    seq_shard: bool = False  # sequence parallelism over tp (parallel/sp.py)
 
     @nn.compact
     def __call__(
@@ -95,7 +97,8 @@ class TextEncoder(nn.Module):
         bias = additive_mask_bias(attention_mask)
         return _stack(cfg, self.dtype, self.use_pallas, self.remat, self.scan_layers,
                       use_fused_ffn=self.use_fused_ffn,
-                      use_train_pallas=self.use_train_pallas)(
+                      use_train_pallas=self.use_train_pallas,
+                      seq_shard=self.seq_shard)(
             x, bias, deterministic
         )
 
@@ -152,6 +155,7 @@ class VisualEncoder(nn.Module):
     use_fused_ffn: object = False  # False | True | "auto"
     remat: bool = False
     scan_layers: bool = False
+    seq_shard: bool = False  # sequence parallelism over tp (parallel/sp.py)
 
     @nn.compact
     def __call__(
@@ -178,7 +182,8 @@ class VisualEncoder(nn.Module):
         bias = additive_mask_bias(video_mask)
         return _stack(cfg, self.dtype, self.use_pallas, self.remat, self.scan_layers,
                       use_fused_ffn=self.use_fused_ffn,
-                      use_train_pallas=self.use_train_pallas)(
+                      use_train_pallas=self.use_train_pallas,
+                      seq_shard=self.seq_shard)(
             x, bias, deterministic
         )
 
@@ -198,6 +203,7 @@ class CrossEncoder(nn.Module):
     use_fused_ffn: object = False  # False | True | "auto"
     remat: bool = False
     scan_layers: bool = False
+    seq_shard: bool = False  # sequence parallelism over tp (parallel/sp.py)
 
     @nn.compact
     def __call__(
@@ -231,7 +237,8 @@ class CrossEncoder(nn.Module):
         bias = additive_mask_bias(concat_mask)
         h = _stack(cfg, self.dtype, self.use_pallas, self.remat, self.scan_layers,
                    use_fused_ffn=self.use_fused_ffn,
-                      use_train_pallas=self.use_train_pallas)(
+                   use_train_pallas=self.use_train_pallas,
+                   seq_shard=self.seq_shard)(
             x, bias, deterministic
         )
         pooled = Pooler(

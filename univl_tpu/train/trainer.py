@@ -53,6 +53,7 @@ class Trainer:
         mesh: Mesh,
         grad_accum_steps: int = 1,
         donate: bool = True,
+        zero1: bool = False,
     ):
         self.model = model
         self.tx = tx
@@ -63,6 +64,12 @@ class Trainer:
         # semantics) and tp is an auto axis — GSPMD partitions the model
         # along the Megatron param shardings (parallel/tp.py).
         self.tp_size = mesh_tp_size(mesh)
+        # ZeRO-1 (train/zero1.py): tx must be a zero1_bert_adam — grads are
+        # reduce-scattered and the optimizer state/update sharded over dp
+        # inside the step (no pmean of the full gradient tree).
+        self.zero1 = zero1
+        if zero1 and self.tp_size > 1:
+            raise ValueError("zero1 requires tp == 1 (params replicated in dp)")
         self._train_step, self._train_steps = self._build_train_step(donate)
 
     # ------------------------------------------------------------ #
@@ -77,6 +84,18 @@ class Trainer:
         params = variables["params"]
         opt_state = self.tx.init(params)
         state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros([], jnp.int32))
+        if self.zero1:
+            from univl_tpu.train.zero1 import Zero1State
+
+            repl = NamedSharding(self.mesh, P())
+            o_sh = Zero1State(
+                step=repl,
+                m=NamedSharding(self.mesh, P(DP_AXIS)),
+                v=NamedSharding(self.mesh, P(DP_AXIS)),
+            )
+            return jax.device_put(
+                state, TrainState(params=repl, opt_state=o_sh, step=repl)
+            )
         if self.tp_size > 1:
             p_sh, o_sh = state_shardings(self.tx, params, opt_state, self.mesh)
             shardings = TrainState(
@@ -139,18 +158,27 @@ class Trainer:
             metrics = jax.tree.map(lambda m: m / accum, metrics_sum)
 
             # DDP equivalent: average grads over the dp axis (ICI psum).
-            grads = jax.lax.pmean(grads, DP_AXIS)
+            # Under ZeRO-1 the optimizer does the reduction itself
+            # (psum_scatter of the flat gradient, train/zero1.py).
+            if not self.zero1:
+                grads = jax.lax.pmean(grads, DP_AXIS)
             metrics = jax.lax.pmean(metrics, DP_AXIS)
 
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt_state, metrics
 
+        if self.zero1:
+            from univl_tpu.train.zero1 import zero1_state_pspecs
+
+            o_spec = zero1_state_pspecs()
+        else:
+            o_spec = P()
         mapped = shard_map(
             per_device_step,
             mesh=self.mesh,
-            in_specs=(P(), P(), P(), P(None, DP_AXIS), P()),
-            out_specs=(P(), P(), P()),
+            in_specs=(P(), o_spec, P(), P(None, DP_AXIS), P()),
+            out_specs=(P(), o_spec, P()),
             check_vma=False,
             # With a (dp, tp) mesh only dp is manual; tp stays an auto axis
             # so GSPMD partitions the model body along the param shardings.

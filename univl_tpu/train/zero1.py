@@ -1,0 +1,262 @@
+"""ZeRO-1 sharded BertAdam: optimizer state + update sharded over dp.
+
+The reference trains with NCCL DDP (main_task_retrieval.py:23,197-198):
+every GPU all-reduces the full gradient and runs the FULL BertAdam update
+on a replicated optimizer state — redundant work and memory on every rank.
+
+This module is the TPU-native alternative (ZeRO stage 1, arXiv:1910.02054,
+re-designed for the ICI collectives):
+
+  - the gradient tree is flattened to ONE fp32 vector and
+    ``lax.psum_scatter`` over the ``dp`` axis replaces the all-reduce —
+    same bytes on the wire, but each device receives only its 1/dp shard
+    of the (mean) gradient;
+  - each device keeps 1/dp of the BertAdam m/v moments and updates 1/dp
+    of the parameters: the measured HBM-roofline optimizer step
+    (~4.4 ms/step on the 180M-param flagship, docs/PERF.md "MFU
+    accounting") divides by the dp size, and optimizer memory drops from
+    2x params per device to 2x/dp;
+  - ``lax.all_gather`` of the update shard restores the replicated
+    parameters (GPipe-free, one collective pair per step, both riding
+    ICI inside the compiled program).
+
+Numerical contract: identical to the replicated
+``optax.chain(clip_by_global_norm, bert_adam(...))`` path
+(train/optimization.py) — the global-norm clip and the reference's
+PER-TENSOR clip (modules/optimization.py:134-136) are computed from
+shard-local partial sums + one ``psum``, so clipping sees the same full
+norms as the replicated path.  tests/test_zero1.py pins one-step and
+multi-step equivalence on an 8-device mesh.
+
+Usage: construct with ``make_univl_zero1_optimizer(..., dp=mesh_dp)`` and
+pass to ``Trainer(..., zero1=True)``.  ``update_fn`` MUST run inside the
+trainer's ``shard_map`` (it issues dp-axis collectives); ``init_fn`` runs
+outside and returns GLOBAL [T_pad] moment vectors which the trainer
+places with a ``P('dp')`` sharding.  Requires tp == 1 (params replicated
+within the dp group).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from univl_tpu.parallel.mesh import DP_AXIS
+from univl_tpu.train.optimization import (
+    SCHEDULES,
+    univl_decay_mask,
+    univl_lr_scale,
+)
+
+
+class Zero1State(NamedTuple):
+    """Sharded BertAdam state.
+
+    ``m``/``v`` are flat [T_pad] vectors globally, sharded over dp
+    (``P('dp')``); inside the trainer's shard_map each device sees its
+    [T_pad // dp] shard. ``step`` is the replicated scalar step count.
+    """
+
+    step: jax.Array
+    m: jax.Array
+    v: jax.Array
+
+
+def zero1_state_pspecs():
+    """shard_map in/out PartitionSpecs for a Zero1State."""
+    from jax.sharding import PartitionSpec as P
+
+    return Zero1State(step=P(), m=P(DP_AXIS), v=P(DP_AXIS))
+
+
+class _Plan(NamedTuple):
+    """Static flattening plan for one param tree (host-side, cached).
+
+    Only PER-LEAF descriptors are stored ([n_leaves]-sized); the
+    per-ELEMENT segment/decay/lr-scale vectors are derived on device from
+    an iota + searchsorted + gather. Baking [T_pad]-sized host constants
+    into the program instead makes the HLO carry ~T_pad*12 bytes of
+    literals — 2 GB at flagship scale, which the tunneled remote-compile
+    endpoint rejects outright (HTTP 413; found by on-chip verification).
+    """
+
+    shapes: tuple
+    sizes: tuple
+    offsets: tuple
+    total: int
+    total_pad: int
+    shard: int
+    leaf_ends: np.ndarray  # [n_leaves] int32 exclusive end offset per leaf
+    leaf_decay: np.ndarray  # [n_leaves+1] f32 0/1 decay mask (pad leaf 0)
+    leaf_scale: np.ndarray  # [n_leaves+1] f32 LR multiplier (pad leaf 0)
+
+
+def _build_plan(params, dp, decay_mask_fn, lr_scale_fn) -> _Plan:
+    leaves = jax.tree.leaves(params)
+    shapes = tuple(l.shape for l in leaves)
+    sizes = tuple(int(np.prod(s)) if s else 1 for s in shapes)
+    offsets = tuple(int(x) for x in np.cumsum((0,) + sizes)[:-1])
+    total = int(sum(sizes))
+    shard = -(-total // dp)  # ceil
+    total_pad = shard * dp
+    n = len(leaves)
+    ends = np.cumsum(sizes).astype(np.int32)
+    d_leaves = jax.tree.leaves(decay_mask_fn(params)) if decay_mask_fn else [True] * n
+    s_leaves = jax.tree.leaves(lr_scale_fn(params)) if lr_scale_fn else [1.0] * n
+    decay = np.asarray([1.0 if d else 0.0 for d in d_leaves] + [0.0], np.float32)
+    scale = np.asarray([float(s) for s in s_leaves] + [0.0], np.float32)
+    return _Plan(shapes, sizes, offsets, total, total_pad, shard, ends, decay, scale)
+
+
+def _flatten(tree, total_pad: int) -> jax.Array:
+    leaves = [l.astype(jnp.float32).reshape(-1) for l in jax.tree.leaves(tree)]
+    flat = jnp.concatenate(leaves) if len(leaves) > 1 else leaves[0]
+    return jnp.pad(flat, (0, total_pad - flat.shape[0]))
+
+
+def _unflatten(flat: jax.Array, template, plan: _Plan):
+    leaves = jax.tree.leaves(template)
+    out = [
+        flat[off : off + sz].reshape(shape).astype(l.dtype)
+        for l, shape, sz, off in zip(leaves, plan.shapes, plan.sizes, plan.offsets)
+    ]
+    return jax.tree.unflatten(jax.tree.structure(template), out)
+
+
+def zero1_bert_adam(
+    lr: float,
+    dp: int,
+    warmup: float = -1.0,
+    t_total: int = -1,
+    schedule: str = "warmup_linear",
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.01,
+    max_grad_norm: float = 1.0,
+    global_clip_norm: float = 1.0,
+    decay_mask: Optional[Callable] = None,
+    lr_scale: Optional[Callable] = None,
+    state_dtype: Optional[str] = None,
+) -> optax.GradientTransformation:
+    """ZeRO-1 sharded equivalent of
+    ``optax.chain(clip_by_global_norm(global_clip_norm), bert_adam(...))``.
+
+    ``update_fn`` must be called INSIDE a shard_map over the ``dp`` axis
+    with the UNREDUCED per-device gradient tree (it performs the mean via
+    psum_scatter itself).  Returns the full (all-gathered) update tree.
+    """
+    sdt = jnp.dtype(state_dtype) if state_dtype else jnp.float32
+    plan_cache: dict = {}
+
+    def plan_for(params) -> _Plan:
+        key = (
+            jax.tree.structure(params),
+            tuple(l.shape for l in jax.tree.leaves(params)),
+        )
+        if key not in plan_cache:
+            plan_cache[key] = _build_plan(params, dp, decay_mask, lr_scale)
+        return plan_cache[key]
+
+    def init_fn(params):
+        plan = plan_for(params)
+        return Zero1State(
+            step=jnp.zeros([], jnp.int32),
+            m=jnp.zeros((plan.total_pad,), sdt),
+            v=jnp.zeros((plan.total_pad,), sdt),
+        )
+
+    def update_fn(grads, state, params):
+        if params is None:
+            raise ValueError("zero1_bert_adam requires params")
+        plan = plan_for(params)
+        n_leaves = len(plan.sizes)
+
+        # Reduce-scatter the mean gradient: each device gets its shard.
+        flat_g = _flatten(grads, plan.total_pad)
+        g = jax.lax.psum_scatter(flat_g, DP_AXIS, tiled=True) / dp
+
+        rank = jax.lax.axis_index(DP_AXIS)
+        start = rank * plan.shard
+        # Per-element leaf ids for THIS shard, derived on device (tiny
+        # [n_leaves] constants only — see _Plan docstring).
+        global_idx = start + jax.lax.iota(jnp.int32, plan.shard)
+        seg = jnp.searchsorted(
+            jnp.asarray(plan.leaf_ends), global_idx, side="right"
+        ).astype(jnp.int32)
+
+        # Global-norm clip (mirrors optax.clip_by_global_norm: scale by
+        # clip / max(norm, clip)).
+        if global_clip_norm > 0:
+            total_sq = jax.lax.psum(jnp.sum(g * g), DP_AXIS)
+            g_norm = jnp.sqrt(total_sq)
+            g = g * (global_clip_norm / jnp.maximum(g_norm, global_clip_norm))
+
+        # Reference per-TENSOR clip (modules/optimization.py:134-136):
+        # full-leaf norms from shard-local segment sums + one psum.
+        if max_grad_norm > 0:
+            leaf_sq = jax.ops.segment_sum(g * g, seg, num_segments=n_leaves + 1)
+            leaf_sq = jax.lax.psum(leaf_sq, DP_AXIS)
+            coef = jnp.minimum(max_grad_norm / (jnp.sqrt(leaf_sq) + 1e-6), 1.0)
+            g = g * coef[seg]
+
+        # Sharded moments (math fp32; storage ``state_dtype``).
+        m = b1 * state.m.astype(jnp.float32) + (1 - b1) * g
+        v = b2 * state.v.astype(jnp.float32) + (1 - b2) * g * g
+
+        if t_total != -1:
+            progress = state.step.astype(jnp.float32) / t_total
+            lr_t = lr * SCHEDULES[schedule](progress, warmup)
+        else:
+            lr_t = jnp.asarray(lr, jnp.float32)
+
+        upd = m / (jnp.sqrt(v) + eps)
+        if weight_decay > 0.0:
+            flat_p = _flatten(params, plan.total_pad)
+            p = jax.lax.dynamic_slice(flat_p, (start,), (plan.shard,))
+            dmask = jnp.asarray(plan.leaf_decay)[seg]
+            upd = upd + weight_decay * dmask * p
+        smul = jnp.asarray(plan.leaf_scale)[seg]
+        upd = -(lr_t * smul) * upd
+
+        # Re-assemble the full update (the only gather in the step).
+        upd_flat = jax.lax.all_gather(upd, DP_AXIS, tiled=True)
+        updates = _unflatten(upd_flat, params, plan)
+        return updates, Zero1State(
+            step=state.step + 1, m=m.astype(sdt), v=v.astype(sdt)
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_univl_zero1_optimizer(
+    lr: float,
+    t_total: int,
+    dp: int,
+    warmup_proportion: float = 0.1,
+    coef_lr: float = 1.0,
+    schedule: str = "warmup_linear",
+    weight_decay: float = 0.01,
+    global_clip_norm: float = 1.0,
+    state_dtype: Optional[str] = None,
+) -> optax.GradientTransformation:
+    """ZeRO-1 twin of make_univl_optimizer (same UniVL param-group policy:
+    no decay on biases/LN scales, coef_lr on the BERT branch)."""
+    return zero1_bert_adam(
+        lr=lr,
+        dp=dp,
+        warmup=warmup_proportion,
+        t_total=t_total,
+        schedule=schedule,
+        weight_decay=weight_decay,
+        max_grad_norm=1.0,
+        global_clip_norm=global_clip_norm,
+        decay_mask=univl_decay_mask,
+        lr_scale=lambda p: univl_lr_scale(p, coef_lr),
+        state_dtype=state_dtype,
+    )
