@@ -20,6 +20,27 @@ def _state(v: float):
     return {"w": jnp.full((4, 4), v), "step": jnp.asarray(int(v))}
 
 
+def test_async_save_restore_roundtrip(tmp_path):
+    """async_save=True: saves return without blocking on the disk write;
+    restore waits for pending writes and returns exact values; rotation
+    policy still applies."""
+    mgr = RotatingCheckpointManager(
+        str(tmp_path / "ck"), max_to_keep=2, async_save=True
+    )
+    for s in range(4):
+        assert mgr.save(s, _state(float(s)), metrics={"loss": 1.0 / (s + 1)})
+    mgr.wait()
+    assert mgr.all_steps() == [2, 3]
+    state, meta = mgr.restore(3, _state(0.0))
+    np.testing.assert_array_equal(np.asarray(state["w"]), np.full((4, 4), 3.0))
+    assert meta == {"loss": 0.25}
+    # restore_latest immediately after an async save must see that save
+    assert mgr.save(4, _state(4.0))
+    state, meta, step = mgr.restore_latest(_state(0.0))
+    assert step == 4 and float(np.asarray(state["step"])) == 4
+    mgr.close()
+
+
 def test_rotation_keeps_last_n(tmp_path):
     mgr = RotatingCheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
     for s in range(5):

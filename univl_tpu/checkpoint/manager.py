@@ -29,10 +29,19 @@ class RotatingCheckpointManager:
         max_to_keep: int = 3,
         best_metric: Optional[str] = None,
         best_mode: str = "max",
+        async_save: bool = False,
     ):
+        """``async_save=True`` overlaps the disk write with training
+        (orbax async checkpointing): ``save`` returns once the state has
+        been copied OUT of device memory (donation-safe — the next
+        train_step may reuse the buffers), and the serialization thread
+        finishes the write in the background. ``restore*``/``close`` wait
+        for pending writes first. The reference blocks the train loop for
+        every torch.save (main_pretrain.py:258-276)."""
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
+        self.async_save = async_save
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
@@ -40,7 +49,7 @@ class RotatingCheckpointManager:
             best_fn=(lambda m: float(m[best_metric])) if best_metric else None,
             best_mode=best_mode,
             create=True,
-            enable_async_checkpointing=False,  # deterministic tests/runs
+            enable_async_checkpointing=async_save,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
@@ -53,16 +62,24 @@ class RotatingCheckpointManager:
         """
         ocp = self._ocp
         metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        # async: hand orbax the device arrays — it copies them to host
+        # before returning and writes on a background thread.
+        payload = state if self.async_save else jax.device_get(state)
         saved = self._mgr.save(
             step,
             args=ocp.args.Composite(
-                state=ocp.args.StandardSave(jax.device_get(state)),
+                state=ocp.args.StandardSave(payload),
                 meta=ocp.args.JsonSave(metrics),
             ),
             metrics=metrics,
         )
-        self._mgr.wait_until_finished()
+        if not self.async_save:
+            self._mgr.wait_until_finished()
         return saved
+
+    def wait(self):
+        """Block until pending async writes are durable."""
+        self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -76,6 +93,7 @@ class RotatingCheckpointManager:
     def restore(self, step: int, template: Any):
         """Restore the pytree saved at `step` into `template`'s structure."""
         ocp = self._ocp
+        self._mgr.wait_until_finished()
         out = self._mgr.restore(
             step,
             args=ocp.args.Composite(
@@ -86,6 +104,7 @@ class RotatingCheckpointManager:
         return out["state"], out["meta"]
 
     def restore_latest(self, template: Any):
+        self._mgr.wait_until_finished()
         step = self.latest_step()
         if step is None:
             return None, None, None
@@ -93,4 +112,5 @@ class RotatingCheckpointManager:
         return state, meta, step
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()

@@ -37,6 +37,10 @@ def add_pretrain_args(p):
                         "keep-last-N policy (for long pretrains)")
     p.add_argument("--keep_checkpoints", type=int, default=3,
                    help="orbax backend: how many checkpoints to keep")
+    p.add_argument("--async_checkpointing", action="store_true",
+                   help="orbax backend: overlap the checkpoint disk write "
+                        "with training (save returns after the device->host "
+                        "copy; restore/close wait for pending writes)")
     p.add_argument("--no_preempt_checkpoint", action="store_true",
                    help="do NOT checkpoint-and-exit on SIGTERM (preemption)")
     p.add_argument("--inject_preempt_after", type=int, default=0,
@@ -102,6 +106,7 @@ def main(argv=None):
         manager = RotatingCheckpointManager(
             os.path.join(args.output_dir, "checkpoints"),
             max_to_keep=args.keep_checkpoints,
+            async_save=bool(getattr(args, "async_checkpointing", False)),
         )
     if args.load_checkpoint:
         if manager is not None:
