@@ -51,6 +51,24 @@ def test_retrieval_driver_train_eval(tmp_path, vocab, youcook):
     assert os.path.exists(os.path.join(out, "best.msgpack"))
 
 
+def test_retrieval_driver_train_zero1(tmp_path, vocab, youcook):
+    """--zero1 end-to-end through the retrieval driver: trains, evals,
+    writes checkpoints (the sharded optimizer is a drop-in for the CLI)."""
+    from univl_tpu.cli.task_retrieval import main
+
+    csv_path, data_path, feat_path = youcook
+    out = str(tmp_path / "outz")
+    best = main(
+        ["--do_train", "--do_eval", "--datatype", "youcook",
+         "--vocab_file", vocab, "--zero1",
+         "--train_csv", csv_path, "--val_csv", csv_path,
+         "--data_path", data_path, "--features_path", feat_path,
+         "--output_dir", out] + COMMON
+    )
+    assert best is not None and "R1" in best
+    assert os.path.exists(os.path.join(out, "params.msgpack.0"))
+
+
 def test_retrieval_driver_eval_only(tmp_path, vocab, youcook):
     from univl_tpu.cli.task_retrieval import main
 
