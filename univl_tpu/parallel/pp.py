@@ -52,12 +52,6 @@ def make_mesh_pp(dp: int, pp: int) -> Mesh:
     return Mesh(np.asarray(devices[: dp * pp]).reshape(dp, pp), ("dp", PP_AXIS))
 
 
-def stage_params_pspec(n_stages: int):
-    """PartitionSpec for a stacked-[L, ...] layer-param leaf: shard the
-    layer axis over pp (requires L % n_stages == 0)."""
-    return P(PP_AXIS)
-
-
 def pipeline_apply(
     body: Callable,
     local_params,
