@@ -83,6 +83,18 @@ example = {{k: v[0][: cfg.batch_size_per_device] for k, v in local.items()}}
 state = trainer.init_state(jax.random.key(0), example)
 state, metrics = trainer.train_step(state, batch, jax.random.key(1))
 print("LOSS", pid, repr(float(metrics["loss"])), flush=True)
+
+# ZeRO-1 across processes: the m/v shards span BOTH hosts (P('dp') over
+# the global 8-device mesh) and the psum_scatter/all_gather ride the
+# cross-process collectives.
+from univl_tpu.train.zero1 import make_univl_zero1_optimizer
+
+txz = make_univl_zero1_optimizer(lr=1e-3, t_total=10, dp=8)
+trz = Trainer(model, txz, mesh, zero1=True)
+statez = trz.init_state(jax.random.key(0), example)
+assert not statez.opt_state.m.sharding.is_fully_replicated
+statez, mz = trz.train_step(statez, batch, jax.random.key(1))
+print("ZLOSS", pid, repr(float(mz["loss"])), flush=True)
 """
 
 
@@ -117,13 +129,19 @@ def test_two_process_dp_step(tmp_path):
         outs.append(out)
         assert p.returncode == 0, f"child failed:\n{out}"
 
-    losses = {}
+    losses, zlosses = {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("LOSS "):
                 _, pid, val = line.split(maxsplit=2)
                 losses[int(pid)] = float(eval(val))
+            elif line.startswith("ZLOSS "):
+                _, pid, val = line.split(maxsplit=2)
+                zlosses[int(pid)] = float(eval(val))
     assert set(losses) == {0, 1}, outs
     assert np.isfinite(losses[0])
     # pmean'd over the global mesh -> every process sees the same loss
     assert losses[0] == losses[1], losses
+    # zero1 runs cross-process too, on the same data -> same loss
+    assert set(zlosses) == {0, 1}, outs
+    assert zlosses[0] == zlosses[1] == losses[0], (zlosses, losses)
