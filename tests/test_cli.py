@@ -69,6 +69,25 @@ def test_retrieval_driver_train_zero1(tmp_path, vocab, youcook):
     assert os.path.exists(os.path.join(out, "params.msgpack.0"))
 
 
+def test_retrieval_driver_train_tp_sp(tmp_path, vocab, youcook):
+    """--tensor_parallel 2 --sequence_parallel through the retrieval
+    driver: the (dp=4, tp=2) mesh + Megatron/SP shardings are wired from
+    the CLI, train + eval complete."""
+    from univl_tpu.cli.task_retrieval import main
+
+    csv_path, data_path, feat_path = youcook
+    out = str(tmp_path / "outtp")
+    best = main(
+        ["--do_train", "--do_eval", "--datatype", "youcook",
+         "--vocab_file", vocab,
+         "--tensor_parallel", "2", "--sequence_parallel",
+         "--train_csv", csv_path, "--val_csv", csv_path,
+         "--data_path", data_path, "--features_path", feat_path,
+         "--output_dir", out] + COMMON
+    )
+    assert best is not None and "R1" in best
+
+
 def test_retrieval_driver_eval_only(tmp_path, vocab, youcook):
     from univl_tpu.cli.task_retrieval import main
 
