@@ -6,3 +6,8 @@ from univl_tpu.train.optimization import (
     warmup_cosine,
 )
 from univl_tpu.train.trainer import Trainer, TrainState
+from univl_tpu.train.zero1 import (
+    Zero1State,
+    make_univl_zero1_optimizer,
+    zero1_bert_adam,
+)
