@@ -145,6 +145,39 @@ def test_tp_param_shardings():
     assert adam.step.spec == P()
 
 
+def test_tp_matches_dp_scan_layers():
+    """tp (+ SP) with the scan_layers stacked towers: the Megatron spec
+    must skip the leading [num_layers] axis and the trajectory still
+    equals dp-only."""
+    cfg = UniVLConfig.tiny(scan_layers=True)
+    l_dp, p_dp = _run(make_mesh(4), cfg)
+    l_tp, p_tp = _run(make_mesh_2d(4, 2), cfg.replace(sequence_parallel=True))
+    np.testing.assert_allclose(l_dp, l_tp, rtol=1e-5, atol=1e-5)
+    diffs = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))), p_dp, p_tp)
+    assert max(jax.tree.leaves(diffs)) < 5e-5
+
+
+def test_tp_param_shardings_scan_layers():
+    """Stacked [N, ...] leaves shard behind the layer axis."""
+    cfg = UniVLConfig.tiny(scan_layers=True)
+    model = UniVL(cfg)
+    batch = make_batch(cfg, np.random.RandomState(0))
+    params = model.init(jax.random.key(0), batch, deterministic=True)["params"]
+    specs = param_pspecs(params, tp=2)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): spec
+        for path, spec in jax.tree_util.tree_flatten_with_path(
+            specs, is_leaf=lambda x: isinstance(x, P)
+        )[0]
+    }
+    assert flat["text/encoder/layers/attention/query/kernel"] == P(None, None, "tp")
+    assert flat["text/encoder/layers/attention/query/bias"] == P(None, "tp")
+    assert flat["text/encoder/layers/attention_output/dense/kernel"] == P(None, "tp", None)
+    assert flat["text/encoder/layers/output/dense/kernel"] == P(None, "tp", None)
+    assert flat["text/encoder/layers/output/ln/scale"] == P()
+    assert flat["word_embed/embedding"] == P("tp", None)  # not stacked
+
+
 def test_tp_indivisible_dim_stays_replicated():
     """A dim not divisible by tp falls back to replication, never errors."""
     cfg = UniVLConfig.tiny()

@@ -95,6 +95,12 @@ def tp_pspec(path, leaf, tp: int) -> P:
     else:
         return P()
 
+    # scan_layers stacked layout: tower layer params live under `layers`
+    # with a leading [num_layers] axis (nn/layers.py:TransformerStack) —
+    # the Megatron split applies to the dims BEHIND it.
+    if "layers" in keys:
+        spec = P(None, *tuple(spec))
+
     # A dim that does not divide by tp stays replicated (correctness first).
     for dim, axis in zip(leaf.shape, spec):
         if axis is not None and dim % tp != 0:
