@@ -165,6 +165,57 @@ def test_zero1_checkpoint_roundtrip(rng, tmp_path):
     _assert_params_close(cont.params, resumed.params, rtol=1e-6, atol=1e-8)
 
 
+def test_zero1_state_conversion_roundtrip(rng):
+    """A run checkpointed replicated can resume under --zero1 and vice
+    versa: 2 replicated steps -> convert -> 2 zero1 steps == 4 replicated
+    steps; then the inverse conversion back matches too."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from univl_tpu.train.zero1 import (
+        Zero1State,
+        replicated_state_from_zero1,
+        zero1_state_from_replicated,
+    )
+
+    cfg = UniVLConfig.tiny()
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    t_ref, t_z = _trainers(cfg, mesh)
+
+    def batch(i):
+        return t_ref.shard_batch(
+            global_batch(cfg, np.random.RandomState(i), n_dev))
+
+    # 4 straight replicated steps = ground truth
+    gt = t_ref.init_state(jax.random.key(0), make_batch(cfg, rng))
+    for i in range(4):
+        gt, _ = t_ref.train_step(gt, batch(i), jax.random.key(i))
+
+    # 2 replicated -> convert -> 2 zero1
+    s = t_ref.init_state(jax.random.key(0), make_batch(cfg, rng))
+    for i in range(2):
+        s, _ = t_ref.train_step(s, batch(i), jax.random.key(i))
+    z_opt = zero1_state_from_replicated(s.params, s.opt_state, dp=n_dev)
+    repl = NamedSharding(mesh, P())
+    z_opt = jax.device_put(z_opt, Zero1State(
+        step=repl, m=NamedSharding(mesh, P(DP_AXIS)),
+        v=NamedSharding(mesh, P(DP_AXIS))))
+    sz = s.replace(opt_state=z_opt)
+    for i in range(2, 4):
+        sz, _ = t_z.train_step(sz, batch(i), jax.random.key(i))
+    _assert_params_close(gt.params, sz.params)
+
+    # 2 zero1 -> convert back -> 2 replicated
+    s2 = t_z.init_state(jax.random.key(0), make_batch(cfg, rng))
+    for i in range(2):
+        s2, _ = t_z.train_step(s2, batch(i), jax.random.key(i))
+    r_opt = replicated_state_from_zero1(s2.params, s2.opt_state)
+    sr = s2.replace(opt_state=jax.device_put(r_opt, repl))
+    for i in range(2, 4):
+        sr, _ = t_ref.train_step(sr, batch(i), jax.random.key(i))
+    _assert_params_close(gt.params, sr.params)
+
+
 def test_zero1_bf16_state_close_to_fp32(rng):
     """state_dtype=bfloat16 shards the bf16 moments too; trajectory stays
     near the fp32-moment zero1 run (same bound class as the replicated

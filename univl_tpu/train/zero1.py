@@ -234,6 +234,48 @@ def zero1_bert_adam(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def zero1_state_from_replicated(params, chain_state, dp: int,
+                                state_dtype: Optional[str] = None) -> Zero1State:
+    """Convert a replicated make_univl_optimizer state — the
+    (clip_by_global_norm, BertAdamState) optax.chain tuple — into the
+    flat sharded Zero1State, so a run checkpointed without --zero1 can
+    resume with it. Flat order is jax.tree.leaves(params) order (the
+    same order zero1_bert_adam uses)."""
+    adam = chain_state[1] if isinstance(chain_state, (tuple, list)) else chain_state
+    plan = _build_plan(params, dp, None, None)
+    sdt = jnp.dtype(state_dtype) if state_dtype else jnp.float32
+    return Zero1State(
+        step=jnp.asarray(adam.step, jnp.int32),
+        m=_flatten(adam.m, plan.total_pad).astype(sdt),
+        v=_flatten(adam.v, plan.total_pad).astype(sdt),
+    )
+
+
+def replicated_state_from_zero1(params, z_state: Zero1State,
+                                state_dtype: Optional[str] = None):
+    """Inverse of zero1_state_from_replicated: rebuild the
+    (clip_by_global_norm, BertAdamState) chain state from the flat
+    shards, so a --zero1 checkpoint can resume replicated."""
+    import optax
+
+    from univl_tpu.train.optimization import BertAdamState
+
+    plan = _build_plan(params, 1, None, None)
+    sdt = jnp.dtype(state_dtype) if state_dtype else None
+
+    def un(flat):
+        tree = _unflatten(flat.astype(jnp.float32), params, plan)
+        return jax.tree.map(
+            lambda l, p: l.astype(sdt or p.dtype), tree, params
+        )
+
+    adam = BertAdamState(
+        step=jnp.asarray(z_state.step, jnp.int32),
+        m=un(z_state.m), v=un(z_state.v),
+    )
+    return (optax.EmptyState(), adam)
+
+
 def make_univl_zero1_optimizer(
     lr: float,
     t_total: int,
