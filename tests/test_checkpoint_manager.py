@@ -73,7 +73,9 @@ def test_restore_latest_empty(tmp_path):
     mgr.close()
 
 
-def test_pretrain_driver_orbax_resume(tmp_path, vocab):
+@pytest.mark.parametrize("extra", [[], ["--async_checkpointing"]],
+                         ids=["sync", "async"])
+def test_pretrain_driver_orbax_resume(tmp_path, vocab, extra):
     from univl_tpu.cli.pretrain import main
     from test_cli import COMMON
 
@@ -87,7 +89,8 @@ def test_pretrain_driver_orbax_resume(tmp_path, vocab):
          "--vocab_file", vocab, "--train_csv", csv_path,
          "--data_path", data_path, "--features_path", feat_dir,
          "--output_dir", out, "--min_time", "5.0",
-         "--checkpoint_backend", "orbax", "--keep_checkpoints", "2"] + COMMON
+         "--checkpoint_backend", "orbax", "--keep_checkpoints", "2"]
+        + extra + COMMON
     )
     state = main(argv)
     step_after_1 = int(state.step)
