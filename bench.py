@@ -16,6 +16,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -23,7 +24,57 @@ import numpy as np
 BASELINE_CLIPS_PER_SEC = 420.0  # estimated 4xGPU DDP (see docstring)
 
 
+def _init_backend_or_die(deadline_s: float = 600.0, poll_s: float = 30.0):
+    """Initialize the JAX backend with a hard deadline.
+
+    The pinned axon (tunneled-TPU) backend HANGS inside init when the
+    tunnel is down (CLAUDE.md), which would stall the driver's bench run
+    forever. Probe from a daemon thread, retry until the deadline (the
+    tunnel has hour-scale outages that sometimes clear), then exit(1)
+    with a clear message instead of hanging."""
+    import threading
+
+    t0 = time.monotonic()
+    last_err = None
+    while time.monotonic() - t0 < deadline_s:
+        result = {}
+
+        def probe():
+            try:
+                import jax
+
+                result["devices"] = jax.devices()
+            except Exception as e:  # noqa: BLE001 — reported below
+                result["error"] = e
+
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(poll_s)
+        if "devices" in result:
+            return result["devices"]
+        if "error" in result:
+            last_err = result["error"]
+            time.sleep(poll_s)
+        elif th.is_alive():
+            # init is wedged in C++; a fresh attempt in this process won't
+            # detach it — keep waiting on the same thread until deadline
+            remaining = deadline_s - (time.monotonic() - t0)
+            th.join(max(0.0, remaining))
+            if "devices" in result:
+                return result["devices"]
+            if "error" in result:
+                last_err = result["error"]
+            break
+    print(
+        f"bench.py: backend unavailable after {deadline_s:.0f}s "
+        f"(axon tunnel down?): {last_err!r}",
+        file=sys.stderr,
+    )
+    raise SystemExit(1)
+
+
 def main():
+    _init_backend_or_die()
     import jax
 
     if jax.default_backend() == "tpu":

@@ -104,6 +104,26 @@ def test_sharded_caption_generation_matches_single(setup, tmp_path):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 
 
+def test_fast_beam_matches_full_beam_fused_ln(setup, monkeypatch):
+    """The opt-in UNIVL_TPU_FUSED_LN=1 Pallas-LayerNorm swap must preserve
+    the KV-cache <-> full-prefix bit-identity invariant (CLAUDE.md): the
+    fast decoder's _ln mirrors LayerNormTF's dispatch, so both paths run
+    the same kernel. Interpret mode stands in for the TPU lowering on CPU
+    (exact f32, same math)."""
+    from jax.experimental import pallas as pl  # noqa: F401  (plugin load)
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, model, params, batch, seq, vis, _, _ = setup
+    monkeypatch.setenv("UNIVL_TPU_FUSED_LN", "1")
+    with pltpu.force_tpu_interpret_mode():
+        slow = make_beam_decode_fn(model, 3, 12, bos_id=2, eos_id=3)
+        fast = make_fast_beam_decode_fn(model, 3, 12, bos_id=2, eos_id=3)
+        t1, s1 = slow(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+        t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("max_len", [20, 32, 33, 48, 70])
 def test_bucketed_cache_parity_at_boundaries(setup, max_len):
     """The bucketed-cache fast decoder must match the fixed-cache full-prefix

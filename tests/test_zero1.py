@@ -216,6 +216,68 @@ def test_zero1_state_conversion_roundtrip(rng):
     _assert_params_close(gt.params, sr.params)
 
 
+def test_zero1_bf16_state_matches_replicated_bf16():
+    """Store-then-update semantics: the replicated bert_adam rounds the
+    moments to state_dtype FIRST and computes the update from the STORED
+    values (optimization.py update_fn). With identical gradients and the
+    clips off, zero1_bert_adam(state_dtype=bfloat16) must therefore match
+    bert_adam(state_dtype=bfloat16) bit-for-bit — this pins the rounding
+    order (a regression here breaks replicated<->zero1 resume and the
+    'numerically equivalent' CLI contract)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from univl_tpu.train.optimization import bert_adam
+    from univl_tpu.train.zero1 import zero1_bert_adam, zero1_state_pspecs
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    rs = np.random.RandomState(0)
+    # leaf sizes deliberately not divisible by n_dev (exercises padding)
+    params = {
+        "w": jnp.asarray(rs.randn(13, 5), jnp.float32),
+        "b": jnp.asarray(rs.randn(7), jnp.float32),
+    }
+    kw = dict(lr=1e-3, t_total=20, warmup=0.1, weight_decay=0.01,
+              max_grad_norm=0.0, state_dtype="bfloat16")
+    opt_r = bert_adam(**kw)
+    opt_z = zero1_bert_adam(dp=n_dev, global_clip_norm=0.0, **kw)
+
+    from univl_tpu.train.zero1 import Zero1State
+
+    st_r = opt_r.init(params)
+    st_z = opt_z.init(params)
+    repl = jax.sharding.NamedSharding(mesh, P())
+    shd = jax.sharding.NamedSharding(mesh, P(DP_AXIS))
+    st_z = jax.device_put(st_z, Zero1State(step=repl, m=shd, v=shd))
+
+    @jax.jit
+    def z_step(g, st, p):
+        f = shard_map(
+            opt_z.update,
+            mesh=mesh,
+            in_specs=(P(), zero1_state_pspecs(), P()),
+            out_specs=(P(), zero1_state_pspecs()),
+            check_vma=False,
+        )
+        return f(g, st, p)
+
+    p_r, p_z = params, params
+    for i in range(3):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(
+                np.random.RandomState(10 + i).randn(*p.shape), jnp.float32),
+            params)
+        upd_r, st_r = opt_r.update(g, st_r, p_r)
+        upd_z, st_z = z_step(g, st_z, p_z)
+        p_r = jax.tree.map(lambda p, u: p + u, p_r, upd_r)
+        p_z = jax.tree.map(lambda p, u: p + u, p_z, upd_z)
+        # 1e-5 >> fp32 psum reduction-order noise but << the ~2e-3
+        # relative error of updating from UNROUNDED bf16 moments (the
+        # bug this test pins).
+        _assert_params_close(upd_r, upd_z, rtol=1e-5, atol=1e-9)
+    _assert_params_close(p_r, p_z, rtol=1e-5, atol=1e-9)
+
+
 def test_zero1_bf16_state_close_to_fp32(rng):
     """state_dtype=bfloat16 shards the bf16 moments too; trajectory stays
     near the fp32-moment zero1 run (same bound class as the replicated

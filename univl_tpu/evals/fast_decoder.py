@@ -25,6 +25,16 @@ from univl_tpu.config import DecoderConfig
 
 
 def _ln(x, p, eps=1e-12):
+    # Mirrors nn.layers.LayerNormTF in BOTH of its modes — including the
+    # opt-in UNIVL_TPU_FUSED_LN Pallas swap — so the KV-cache decode stays
+    # bit-identical to the full-prefix decoder under every configuration
+    # (CLAUDE.md invariant; pinned by tests/test_fast_decoder.py).
+    from univl_tpu.nn.layers import _fused_ln_enabled
+
+    if _fused_ln_enabled():
+        from univl_tpu.kernels.layernorm import fused_layer_norm
+
+        return fused_layer_norm(x, p["scale"], p["bias"], eps)
     xf = x.astype(jnp.float32)
     u = jnp.mean(xf, axis=-1, keepdims=True)
     s = jnp.mean(jnp.square(xf - u), axis=-1, keepdims=True)

@@ -379,8 +379,6 @@ def _ffn_block_bwd_kernel(seed_ref, s_ref, g_ref, pre_ref, w1_ref, w2_ref,
 
 def _ffn_block_fwd_call(x, w1, b1, w2, b2, scale, bias, seed, rate, eps,
                         save: bool):
-    import functools
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -435,8 +433,6 @@ def _ffn_block_fwd_call(x, w1, b1, w2, b2, scale, bias, seed, rate, eps,
 
 
 def _ffn_block_bwd_call(res, g, rate, eps):
-    import functools
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -189,13 +189,7 @@ class MultiHeadAttention(nn.Module):
         ):
             from univl_tpu.kernels.train_attention import fused_train_attention
 
-            if self.dropout_rate > 0.0:
-                rng = self.make_rng("dropout")
-                seed = jax.random.randint(
-                    rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
-                )
-            else:  # rate 0 draws no bits; don't demand a 'dropout' rng
-                seed = jnp.int32(0)
+            seed = _kernel_dropout_seed(self, float(self.dropout_rate))
             key_mask = (bias[:, 0, 0, :] >= -1.0).astype(jnp.float32)
             # dense layout in/out: the [B,L,H,D] head-split transposes never
             # materialize in HBM (they cost ~0.9 ms EACH at FT-Align scale)
@@ -240,6 +234,21 @@ class MultiHeadAttention(nn.Module):
             )
         b, h, l, d = ctx.shape
         return ctx.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def _kernel_dropout_seed(mod: nn.Module, rate: float) -> jax.Array:
+    """Scalar int32 seed for a Pallas-kernel dropout, drawn from the
+    module's 'dropout' rng stream. rate == 0 draws no bits so callers in
+    deterministic/eval traces don't have to provide the stream. Single
+    source of truth for the seeding scheme (the kernels regenerate the
+    mask from seed + program_id in fwd AND bwd — changing this draw must
+    change every fused call site identically)."""
+    if rate > 0.0:
+        return jax.random.randint(
+            mod.make_rng("dropout"), (), 0,
+            jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+        )
+    return jnp.int32(0)
 
 
 class _LinearParams(nn.Module):
@@ -295,13 +304,7 @@ class ResidualOutput(nn.Module):
             )()
             scale, bias = _LNParams(self.features, name="ln")()
             rate = 0.0 if deterministic else float(self.dropout_rate)
-            if rate > 0.0:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0,
-                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
-                )
-            else:
-                seed = jnp.int32(0)
+            seed = _kernel_dropout_seed(self, rate)
             dt = self.dtype
             b_, l_, _ = x.shape
             return fused_dense_block(
@@ -370,13 +373,7 @@ class FusedFFNOutput(nn.Module):
         if self.fold_epilogue:
             scale, bias = _LNParams(self.features, name="ln")()
             rate = 0.0 if deterministic else float(self.dropout_rate)
-            if rate > 0.0:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0,
-                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
-                )
-            else:
-                seed = jnp.int32(0)
+            seed = _kernel_dropout_seed(self, rate)
             return fused_ffn_block(
                 x.reshape(-1, h).astype(dt),
                 k1.astype(dt), b1.astype(dt), k2.astype(dt), b2.astype(dt),

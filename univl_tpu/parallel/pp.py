@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from univl_tpu.parallel.mesh import DP_AXIS
+
 PP_AXIS = "pp"
 
 
@@ -49,7 +51,7 @@ def make_mesh_pp(dp: int, pp: int) -> Mesh:
     devices = jax.devices()
     if dp * pp > len(devices):
         raise ValueError(f"need {dp * pp} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[: dp * pp]).reshape(dp, pp), ("dp", PP_AXIS))
+    return Mesh(np.asarray(devices[: dp * pp]).reshape(dp, pp), (DP_AXIS, PP_AXIS))
 
 
 def pipeline_apply(
@@ -136,7 +138,7 @@ def pipelined_stack_fn(
     params_stacked leaves are GLOBAL [L, ...] arrays; place them with
     ``NamedSharding(mesh, P('pp'))`` so each stage holds its slice.
     """
-    has_dp = "dp" in mesh.axis_names
+    has_dp = DP_AXIS in mesh.axis_names
 
     def fn(params_stacked, x):
         def mapped(lp, xloc):
@@ -145,8 +147,8 @@ def pipelined_stack_fn(
         return shard_map(
             mapped,
             mesh=mesh,
-            in_specs=(P(PP_AXIS), P("dp") if has_dp else P()),
-            out_specs=P("dp") if has_dp else P(),
+            in_specs=(P(PP_AXIS), P(DP_AXIS) if has_dp else P()),
+            out_specs=P(DP_AXIS) if has_dp else P(),
             check_vma=False,
         )(params_stacked, x)
 

@@ -42,7 +42,11 @@ def _tp_is_auto_axis() -> bool:
         kind = dict(zip(mesh.axis_names, mesh.axis_types))[TP_AXIS]
         return kind == jsh.AxisType.Auto
     except Exception:
-        return True
+        # Fail CLOSED: if the axis-type introspection is unavailable we
+        # cannot prove tp is an auto axis, and constraining over a
+        # shard_map-manual axis is a trace error. Skipping the constraint
+        # is always correct (GSPMD just keeps the stream replicated).
+        return False
 
 
 def seq_constrain(x: jax.Array) -> jax.Array:

@@ -205,9 +205,14 @@ def zero1_bert_adam(
             coef = jnp.minimum(max_grad_norm / (jnp.sqrt(leaf_sq) + 1e-6), 1.0)
             g = g * coef[seg]
 
-        # Sharded moments (math fp32; storage ``state_dtype``).
-        m = b1 * state.m.astype(jnp.float32) + (1 - b1) * g
-        v = b2 * state.v.astype(jnp.float32) + (1 - b2) * g * g
+        # Sharded moments: math in fp32, then rounded to ``state_dtype``
+        # BEFORE the update is computed from them — the replicated
+        # bert_adam stores first and updates from the stored (rounded)
+        # moments (optimization.py update_fn), and matching that keeps
+        # --zero1 bit-equivalent to the replicated chain for any
+        # state_dtype, including across checkpoint restores.
+        m = (b1 * state.m.astype(jnp.float32) + (1 - b1) * g).astype(sdt)
+        v = (b2 * state.v.astype(jnp.float32) + (1 - b2) * g * g).astype(sdt)
 
         if t_total != -1:
             progress = state.step.astype(jnp.float32) / t_total
@@ -215,7 +220,7 @@ def zero1_bert_adam(
         else:
             lr_t = jnp.asarray(lr, jnp.float32)
 
-        upd = m / (jnp.sqrt(v) + eps)
+        upd = m.astype(jnp.float32) / (jnp.sqrt(v.astype(jnp.float32)) + eps)
         if weight_decay > 0.0:
             flat_p = _flatten(params, plan.total_pad)
             p = jax.lax.dynamic_slice(flat_p, (start,), (plan.shard,))
@@ -227,9 +232,7 @@ def zero1_bert_adam(
         # Re-assemble the full update (the only gather in the step).
         upd_flat = jax.lax.all_gather(upd, DP_AXIS, tiled=True)
         updates = _unflatten(upd_flat, params, plan)
-        return updates, Zero1State(
-            step=state.step + 1, m=m.astype(sdt), v=v.astype(sdt)
-        )
+        return updates, Zero1State(step=state.step + 1, m=m, v=v)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -256,8 +259,6 @@ def replicated_state_from_zero1(params, z_state: Zero1State,
     """Inverse of zero1_state_from_replicated: rebuild the
     (clip_by_global_norm, BertAdamState) chain state from the flat
     shards, so a --zero1 checkpoint can resume replicated."""
-    import optax
-
     from univl_tpu.train.optimization import BertAdamState
 
     plan = _build_plan(params, 1, None, None)
