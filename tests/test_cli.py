@@ -233,6 +233,31 @@ def test_convert_checkpoint_cli(tmp_path):
           "--max_words", "16", "--max_frames", "8", "--video_dim", "32"])
     assert os.path.exists(out)
 
+    # the written msgpack must contain the converted weights, not merely
+    # exist: partially restore it over the converted-tree template and
+    # compare every leaf against convert_torch_state_dict run directly on
+    # the same .bin (a CLI that built the wrong template or wrote an
+    # empty/partial tree would still create the file)
+    import jax as _jax
+
+    from univl_tpu.checkpoint.io import restore_checkpoint
+    from univl_tpu.checkpoint.torch_convert import convert_torch_state_dict
+
+    expected, _report = convert_torch_state_dict({k: np.asarray(v) for k, v in sd.items()})
+    zero_tmpl = _jax.tree.map(np.zeros_like, expected)
+    restored, _meta, missing = restore_checkpoint(out, zero_tmpl, partial=True)
+    assert not missing, missing  # every converted leaf is in the msgpack
+    n = 0
+    for (path, a), (_, b) in zip(
+        _jax.tree_util.tree_leaves_with_path(restored),
+        _jax.tree_util.tree_leaves_with_path(expected),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=_jax.tree_util.keystr(path))
+        n += 1
+    assert n == len(_jax.tree.leaves(expected)) and n > 50, n
+
 
 def test_ft_align_driver(tmp_path, vocab, youcook):
     """--train_sim_after_cross: cross-encoder loss in training, 'cross'
@@ -303,4 +328,19 @@ def test_pretrain_preemption_save_and_resume(tmp_path, vocab):
     assert meta["preempted"] is True
 
     state2 = main(argv + ["--load_checkpoint"])
-    assert int(state2.step) > steps_done  # resumed and finished the run
+    assert int(state2.step) > steps_done  # resumed past the save point
+
+    # "resumed and finished" must mean exactly the remaining work: the
+    # checkpoint marks epochs 0..meta['epoch'] complete, resume RESTARTS
+    # the interrupted epoch (cli/pretrain.py), so the final step count is
+    # steps_done + (epochs_left * steps_per_epoch). A resume that skipped
+    # the interrupted epoch or replayed from epoch 0 lands elsewhere but
+    # still satisfies step > steps_done.
+    argv_full = list(argv)
+    argv_full[argv_full.index("--output_dir") + 1] = str(tmp_path / "pre_full")
+    state_full = main(argv_full)
+    assert int(state_full.step) % 3 == 0
+    spe = int(state_full.step) // 3  # steps per epoch
+    epochs_left = 3 - (int(meta["epoch"]) + 1)
+    assert int(state2.step) == steps_done + epochs_left * spe, (
+        int(state2.step), steps_done, epochs_left, spe)

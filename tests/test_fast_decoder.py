@@ -59,7 +59,8 @@ def test_step_logits_match_full_prefix(setup):
         )
         np.testing.assert_allclose(
             np.asarray(logits_t), full_logits[:, t], rtol=2e-4, atol=2e-4,
-        ), t
+            err_msg=f"step {t}",
+        )
 
 
 def test_fast_beam_matches_full_beam(setup):

@@ -79,6 +79,26 @@ local = {{k: np.stack([v]) for k, v in local.items()}}  # accum axis
 batch = trainer.shard_batch(local)
 assert batch["input_ids"].shape == (1, 32, cfg.max_words)  # global assembly
 
+# Known-answer assembly check: the assembled global batch must equal the
+# single-process (process_count=1) Batcher order at every addressable
+# position. Cross-process loss equality alone is true by construction of
+# the pmean and cannot see a duplicated or misplaced half.
+ref = next(iter(Batcher(
+    SyntheticDS(), batch_size=32, shuffle=True, seed=0, num_workers=2,
+).epoch(0)))
+arr = batch["input_ids"]
+checked = 0
+for shard in arr.addressable_shards:
+    sl = shard.index[1]
+    lo = 0 if sl.start is None else sl.start
+    np.testing.assert_array_equal(
+        np.asarray(shard.data)[0],
+        ref["input_ids"][lo : lo + shard.data.shape[1]],
+    )
+    checked += 1
+assert checked == 4, checked
+print("ASSEMBLY", pid, "OK", flush=True)
+
 example = {{k: v[0][: cfg.batch_size_per_device] for k, v in local.items()}}
 state = trainer.init_state(jax.random.key(0), example)
 state, metrics = trainer.train_step(state, batch, jax.random.key(1))
@@ -140,6 +160,9 @@ def test_two_process_dp_step(tmp_path):
                 zlosses[int(pid)] = float(eval(val))
     assert set(losses) == {0, 1}, outs
     assert np.isfinite(losses[0])
+    # both processes verified their shards against the known-answer order
+    for pid in (0, 1):
+        assert any(f"ASSEMBLY {pid} OK" in out for out in outs), outs
     # pmean'd over the global mesh -> every process sees the same loss
     assert losses[0] == losses[1], losses
     # zero1 runs cross-process too, on the same data -> same loss

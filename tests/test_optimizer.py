@@ -95,13 +95,53 @@ def test_param_group_policy():
 
 
 def test_global_clip_composes(rng):
-    """make_univl_optimizer must clip by global norm before BertAdam."""
-    p0 = {"text": {"dense": {"kernel": jnp.asarray(rng.randn(4, 4), jnp.float32)}}}
-    tx = make_univl_optimizer(lr=0.01, t_total=10, warmup_proportion=0.1, coef_lr=1.0)
+    """make_univl_optimizer must clip by global norm BEFORE BertAdam: its
+    update on huge grads must equal bert_adam (same param-group policy, no
+    outer clip) fed the pre-clipped grads — and differ from bert_adam fed
+    the raw grads (i.e. removing the chain's clip stage is detected)."""
+    from univl_tpu.train.optimization import (
+        bert_adam, univl_decay_mask, univl_lr_scale,
+    )
+
+    # Two leaves at very different gradient scales: under the GLOBAL clip
+    # both scale by the same 1/||g||; under BertAdam's internal per-TENSOR
+    # clip alone the small leaf is untouched — so the small leaf is where
+    # a missing global-clip stage shows up.
+    p0 = {"text": {"dense": {
+        "kernel": jnp.asarray(rng.randn(4, 4), jnp.float32),
+        "bias": jnp.asarray(rng.randn(4), jnp.float32),
+    }}}
+    tx = make_univl_optimizer(lr=0.01, t_total=10, warmup_proportion=0.1,
+                              coef_lr=1.0)
     state = tx.init(p0)
-    big = jax.tree.map(lambda p: jnp.full_like(p, 100.0), p0)
+    big = {"text": {"dense": {
+        "kernel": jnp.full((4, 4), 100.0),
+        "bias": jnp.full((4,), 1e-3),
+    }}}
+    # advance one step so the warmup_linear(0) = 0 schedule can't zero the
+    # compared updates
+    _, state = tx.update(jax.tree.map(jnp.zeros_like, p0), state, p0)
     updates, _ = tx.update(big, state, p0)
-    assert np.isfinite(np.asarray(jax.tree.leaves(updates)[0])).all()
+
+    oracle = bert_adam(
+        lr=0.01, warmup=0.1, t_total=10, weight_decay=0.01, max_grad_norm=1.0,
+        decay_mask=univl_decay_mask, lr_scale=lambda p: univl_lr_scale(p, 1.0),
+    )
+    o_state = oracle.init(p0)
+    _, o_state = oracle.update(jax.tree.map(jnp.zeros_like, p0), o_state, p0)
+    gnorm = float(jnp.sqrt(sum(jnp.sum(g * g) for g in jax.tree.leaves(big))))
+    clipped = jax.tree.map(lambda g: g * (1.0 / gnorm), big)  # clip norm 1.0
+    expected, _ = oracle.update(clipped, o_state, p0)
+    for k in ("kernel", "bias"):
+        np.testing.assert_allclose(
+            np.asarray(updates["text"]["dense"][k]),
+            np.asarray(expected["text"]["dense"][k]), rtol=1e-6,
+            err_msg=k)
+
+    unclipped, _ = oracle.update(big, o_state, p0)
+    assert not np.allclose(
+        np.asarray(updates["text"]["dense"]["bias"]),
+        np.asarray(unclipped["text"]["dense"]["bias"]))
 
 
 def test_warmup_constant_and_cosine():

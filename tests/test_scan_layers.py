@@ -140,6 +140,15 @@ def test_trainstate_resume_across_layouts(rng, tmp_path):
     tmpl = t_scan.init_state(jax.random.key(2), make_batch(cfg, rng))
     restored, meta = restore_checkpoint(path, jax.device_get(tmpl))
     assert meta["global_step"] == 1
+    # the adaptation must be EXACT: params and BOTH BertAdam moment trees
+    # equal to_scan_layout of the saved loop-layout state leaf-by-leaf
+    # (a permuted/zeroed moment tree would still produce a finite loss).
+    saved = jax.device_get(state)
+    _trees_equal(restored.params, to_scan_layout(saved.params))
+    adam_saved, adam_restored = saved.opt_state[1], restored.opt_state[1]
+    _trees_equal(adam_restored.m, to_scan_layout(adam_saved.m))
+    _trees_equal(adam_restored.v, to_scan_layout(adam_saved.v))
+    assert int(adam_restored.step) == int(adam_saved.step)
     # one more step from the restored state must run and stay finite
     restored = jax.device_put(
         restored, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())

@@ -34,6 +34,7 @@ def _run(mesh, cfg, n_steps=2, accum=2):
                               coef_lr=0.1)
     tr = Trainer(model, tx, mesh, grad_accum_steps=accum)
     state = tr.init_state(jax.random.key(0), make_batch(cfg, np.random.RandomState(0)))
+    p0 = jax.device_get(state.params)
     n_dp = mesh.devices.shape[0]
     losses = []
     for i in range(n_steps):
@@ -42,20 +43,45 @@ def _run(mesh, cfg, n_steps=2, accum=2):
         )
         state, metrics = tr.train_step(state, batch, jax.random.key(100 + i))
         losses.append(float(metrics["loss"]))
-    return losses, jax.device_get(state.params)
+    return losses, jax.device_get(state.params), p0
+
+
+def _assert_same_trajectory(p0, p_dp, p_other):
+    """Per-leaf self-calibrating closeness: each leaf's dp-vs-other diff
+    must be < 5% of how far that leaf actually MOVED in the dp baseline
+    (floor 1e-7 for unmoved leaves). A flat absolute threshold is blind to
+    the coef_lr=0.1 group, whose entire 2-step movement (~3e-5) sits below
+    any tolerance loose enough for the fast-moving groups — a tp bug
+    zeroing that group's gradients would pass. Movement-relative bounds
+    catch a mis-reduced group at ANY update scale (reduction-order noise
+    measures ~0.1% of movement; a wrong/zero gradient shows up as ~100%)."""
+    bad, text_moved = [], 0.0
+    for (path, a), (_, b), (_, i0) in zip(
+        jax.tree_util.tree_flatten_with_path(p_dp)[0],
+        jax.tree_util.tree_flatten_with_path(p_other)[0],
+        jax.tree_util.tree_flatten_with_path(p0)[0],
+    ):
+        key = jax.tree_util.keystr(path)
+        moved = float(np.max(np.abs(np.asarray(a) - np.asarray(i0))))
+        diff = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        if diff > max(1e-7, 0.05 * moved):
+            bad.append((key, diff, moved))
+        if "text" in key:
+            text_moved = max(text_moved, moved)
+    assert not bad, sorted(bad, key=lambda kv: -kv[1])[:5]
+    # signal check: the slow (coef_lr=0.1) text group really moved, so a
+    # zeroed/mis-reduced text gradient cannot hide under the floor
+    assert text_moved > 1e-6, text_moved
 
 
 def test_tp_matches_dp():
     """dp=4 × tp=2 reproduces the dp=4 trajectory (losses + params)."""
     cfg = UniVLConfig.tiny()
-    l_dp, p_dp = _run(make_mesh(4), cfg)
-    l_tp, p_tp = _run(make_mesh_2d(4, 2), cfg)
+    l_dp, p_dp, p0 = _run(make_mesh(4), cfg)
+    l_tp, p_tp, _ = _run(make_mesh_2d(4, 2), cfg)
 
     np.testing.assert_allclose(l_dp, l_tp, rtol=1e-5, atol=1e-5)
-    diffs = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))), p_dp, p_tp)
-    assert max(jax.tree.leaves(diffs)) < 5e-5, sorted(
-        jax.tree_util.tree_flatten_with_path(diffs)[0], key=lambda kv: -kv[1]
-    )[:5]
+    _assert_same_trajectory(p0, p_dp, p_tp)
 
 
 def test_sp_matches_dp():
@@ -63,14 +89,11 @@ def test_sp_matches_dp():
     the residual stream, parallel/sp.py) must also reproduce the dp=4
     trajectory — SP only moves where the tp collectives happen."""
     cfg = UniVLConfig.tiny()
-    l_dp, p_dp = _run(make_mesh(4), cfg)
-    l_sp, p_sp = _run(make_mesh_2d(4, 2), cfg.replace(sequence_parallel=True))
+    l_dp, p_dp, p0 = _run(make_mesh(4), cfg)
+    l_sp, p_sp, _ = _run(make_mesh_2d(4, 2), cfg.replace(sequence_parallel=True))
 
     np.testing.assert_allclose(l_dp, l_sp, rtol=1e-5, atol=1e-5)
-    diffs = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))), p_dp, p_sp)
-    assert max(jax.tree.leaves(diffs)) < 5e-5, sorted(
-        jax.tree_util.tree_flatten_with_path(diffs)[0], key=lambda kv: -kv[1]
-    )[:5]
+    _assert_same_trajectory(p0, p_dp, p_sp)
 
 
 def test_sp_noop_without_tp_axis():
@@ -150,11 +173,10 @@ def test_tp_matches_dp_scan_layers():
     must skip the leading [num_layers] axis and the trajectory still
     equals dp-only."""
     cfg = UniVLConfig.tiny(scan_layers=True)
-    l_dp, p_dp = _run(make_mesh(4), cfg)
-    l_tp, p_tp = _run(make_mesh_2d(4, 2), cfg.replace(sequence_parallel=True))
+    l_dp, p_dp, p0 = _run(make_mesh(4), cfg)
+    l_tp, p_tp, _ = _run(make_mesh_2d(4, 2), cfg.replace(sequence_parallel=True))
     np.testing.assert_allclose(l_dp, l_tp, rtol=1e-5, atol=1e-5)
-    diffs = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))), p_dp, p_tp)
-    assert max(jax.tree.leaves(diffs)) < 5e-5
+    _assert_same_trajectory(p0, p_dp, p_tp)
 
 
 def test_tp_param_shardings_scan_layers():

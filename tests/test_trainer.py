@@ -191,9 +191,15 @@ def test_params_replicated_after_step(rng):
     state = trainer.init_state(jax.random.key(0), make_batch(cfg, rng))
     batch = trainer.shard_batch(global_batch(cfg, rng, n_dev))
     state, _ = trainer.train_step(state, batch, jax.random.key(1))
-    # fully replicated leaves: sharding should be trivial (all devices same)
-    leaf = jax.tree.leaves(state.params)[0]
-    assert leaf.sharding.is_fully_replicated
+    # replication must hold by VALUE, not just metadata: out_specs=P() with
+    # check_vma=False stamps is_fully_replicated even if a dropped grad
+    # pmean let per-device updates diverge — compare the actual shard bytes.
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state.params):
+        assert leaf.sharding.is_fully_replicated, jax.tree_util.keystr(path)
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(
+                shards[0], s, err_msg=jax.tree_util.keystr(path))
 
 
 def test_determinism_same_seed(rng):
@@ -232,9 +238,18 @@ def test_remat_matches_no_remat(rng, remat):
     np.testing.assert_allclose(
         float(out1["loss"]), float(out2["loss"]), rtol=1e-6
     )
-    # and gradients flow through the remat path
+    # and the remat backward is the SAME gradient, not merely finite —
+    # a wrapper that detached part of the tree or perturbed the recompute
+    # would still produce finite leaves
+    g_ref = jax.grad(lambda pp: m1.apply(pp, batch, deterministic=True)["loss"])(p)
     g = jax.grad(lambda pp: m2.apply(pp, batch, deterministic=True)["loss"])(p)
-    assert np.isfinite(np.asarray(jax.tree.leaves(g)[0])).all()
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
 
 
 def test_stage_two_pretrain_step_on_mesh(rng):
@@ -259,4 +274,8 @@ def test_stage_two_pretrain_step_on_mesh(rng):
         losses.append(float(metrics["loss"]))
         for k, v in metrics.items():
             assert np.isfinite(float(v)), (k, v)
+            if i == 0 and k.endswith("loss"):
+                # every objective is a CE/NCE/margin at init: positive
+                # (a sign bug would stay finite and even descend)
+                assert float(v) > 0, (k, v)
     assert losses[-1] < losses[0], losses
