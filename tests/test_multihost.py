@@ -168,3 +168,56 @@ def test_two_process_dp_step(tmp_path):
     # zero1 runs cross-process too, on the same data -> same loss
     assert set(zlosses) == {0, 1}, outs
     assert zlosses[0] == zlosses[1] == losses[0], (zlosses, losses)
+
+    # True known answer: the SAME global batch + step on THIS process's
+    # own 8-device mesh (single process) must produce the identical loss —
+    # the multi-host assembly path is value-equivalent to single-host, not
+    # merely internally consistent.
+    expected = _single_process_loss()
+    np.testing.assert_allclose(losses[0], expected, rtol=1e-6)
+
+
+def _single_process_loss() -> float:
+    """The oracle for the child computation: same dataset, same Batcher
+    seed, same mesh shape (8 devices), same init/step keys — but one
+    process. The child's CHILD script must mirror any change here."""
+    import jax
+    import numpy as np
+
+    from univl_tpu.config import UniVLConfig
+    from univl_tpu.data.batching import Batcher
+    from univl_tpu.models.univl import UniVL
+    from univl_tpu.parallel.mesh import make_mesh
+    from univl_tpu.train.optimization import make_univl_optimizer
+    from univl_tpu.train.trainer import Trainer
+
+    cfg = UniVLConfig.tiny()
+
+    class SyntheticDS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(1000 + i)
+            return {
+                "input_ids": r.randint(
+                    0, cfg.bert.vocab_size, (cfg.max_words,)
+                ).astype(np.int32),
+                "token_type_ids": np.zeros((cfg.max_words,), np.int32),
+                "attention_mask": np.ones((cfg.max_words,), np.int32),
+                "video": r.randn(cfg.max_frames, cfg.video_dim).astype(np.float32),
+                "video_mask": np.ones((cfg.max_frames,), np.int32),
+            }
+
+    mesh = make_mesh(8)
+    trainer = Trainer(UniVL(cfg), make_univl_optimizer(lr=1e-3, t_total=10),
+                      mesh)
+    local = next(iter(Batcher(
+        SyntheticDS(), batch_size=32, shuffle=True, seed=0, num_workers=2,
+    ).epoch(0)))
+    local = {k: np.stack([v]) for k, v in local.items()}
+    batch = trainer.shard_batch(local)
+    example = {k: v[0][: cfg.batch_size_per_device] for k, v in local.items()}
+    state = trainer.init_state(jax.random.key(0), example)
+    _, metrics = trainer.train_step(state, batch, jax.random.key(1))
+    return float(metrics["loss"])
