@@ -303,8 +303,11 @@ def test_metrics_jsonl_written(tmp_path, vocab, youcook):
 
 def test_pretrain_preemption_save_and_resume(tmp_path, vocab):
     """Simulated preemption (fault injection): checkpoint mid-run, exit
-    cleanly, resume restarts the interrupted epoch."""
+    cleanly, resume continues the interrupted epoch at the exact
+    update-batch — bit-identical to a run that was never preempted."""
     import json as _json
+
+    import jax as _jax
 
     from univl_tpu.cli.pretrain import main
 
@@ -327,20 +330,24 @@ def test_pretrain_preemption_save_and_resume(tmp_path, vocab):
     meta = _json.load(open(os.path.join(out, "train_state.msgpack.json")))
     assert meta["preempted"] is True
 
+    assert int(meta["in_epoch_step"]) >= 0
+
     state2 = main(argv + ["--load_checkpoint"])
     assert int(state2.step) > steps_done  # resumed past the save point
 
-    # "resumed and finished" must mean exactly the remaining work: the
-    # checkpoint marks epochs 0..meta['epoch'] complete, resume RESTARTS
-    # the interrupted epoch (cli/pretrain.py), so the final step count is
-    # steps_done + (epochs_left * steps_per_epoch). A resume that skipped
-    # the interrupted epoch or replayed from epoch 0 lands elsewhere but
-    # still satisfies step > steps_done.
+    # Exact mid-epoch resume: interrupted + resumed must be BIT-IDENTICAL
+    # to a run that was never preempted — same total step count (no epoch
+    # replayed, none skipped: the batcher continues at the recorded
+    # in-epoch offset and the step rng is keyed on global_step) and the
+    # same final params.
     argv_full = list(argv)
     argv_full[argv_full.index("--output_dir") + 1] = str(tmp_path / "pre_full")
     state_full = main(argv_full)
-    assert int(state_full.step) % 3 == 0
-    spe = int(state_full.step) // 3  # steps per epoch
-    epochs_left = 3 - (int(meta["epoch"]) + 1)
-    assert int(state2.step) == steps_done + epochs_left * spe, (
-        int(state2.step), steps_done, epochs_left, spe)
+    assert int(state2.step) == int(state_full.step), (
+        int(state2.step), int(state_full.step))
+    for (path, a), (_, b) in zip(
+        _jax.tree_util.tree_leaves_with_path(state2.params),
+        _jax.tree_util.tree_leaves_with_path(state_full.params),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=str(path))

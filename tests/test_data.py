@@ -255,6 +255,24 @@ def test_batcher_shapes_and_determinism(youcook, tokenizer):
     assert not np.array_equal(batches[0]["input_ids"], batches3[0]["input_ids"])
 
 
+def test_batcher_start_batch_resume(youcook, tokenizer):
+    """epoch(e, start_batch=k) yields exactly batches k.. of epoch(e) —
+    the mid-epoch-resume contract (cli/pretrain.py exact preemption
+    resume)."""
+    csv_path, data_path, feat_path = youcook
+    ds = YoucookRetrievalDataset(csv_path, data_path, feat_path, tokenizer,
+                                 max_words=16, max_frames=12)
+    b = Batcher(ds, batch_size=4, shuffle=True, seed=7, grad_accum=2)
+    full = list(b.epoch(0))
+    assert len(full) >= 2
+    for k in (1, len(full) - 1, len(full)):
+        tail = list(b.epoch(0, start_batch=k))
+        assert len(tail) == len(full) - k
+        for f, t in zip(full[k:], tail):
+            np.testing.assert_array_equal(f["input_ids"], t["input_ids"])
+            np.testing.assert_array_equal(f["video"], t["video"])
+
+
 def test_prefetch(youcook, tokenizer):
     from univl_tpu.data.batching import prefetch_to_device
     csv_path, data_path, feat_path = youcook

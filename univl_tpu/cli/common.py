@@ -451,16 +451,17 @@ def make_trainer(args, model, n_train_batches: int, logger):
     return trainer
 
 
-def make_input_iter(args, trainer, batcher, epoch: int):
+def make_input_iter(args, trainer, batcher, epoch: int, start_batch: int = 0):
     """Epoch input pipeline: host batches -> (optional float cast) ->
-    device placement, optionally on a background prefetch thread."""
+    device placement, optionally on a background prefetch thread.
+    ``start_batch`` skips that many update-batches (mid-epoch resume)."""
     from univl_tpu.data.batching import cast_floats, prefetch_to_device
 
     accum = args.gradient_accumulation_steps
     tdtype = getattr(args, "transfer_dtype", "float32")
 
     def host_iter():
-        for b in batcher.epoch(epoch):
+        for b in batcher.epoch(epoch, start_batch=start_batch):
             b = {k: (v if accum > 1 else v[None]) for k, v in b.items()}
             if tdtype != "float32":
                 b = cast_floats(b, tdtype)

@@ -11,6 +11,11 @@ Stage II adds: --stage_two --pretrain_enhance_vmodal (README.md:233-247).
 
 Checkpoint/resume: saves {params, opt_state, epoch, global_step} each epoch
 (reference main_pretrain.py:258-308); resume with --load_checkpoint.
+Preemption (SIGTERM) additionally records the in-epoch offset, so a
+resumed run continues EXACTLY where it stopped — bit-identical to an
+uninterrupted run — instead of replaying the interrupted epoch (the
+reference loses all mid-epoch progress; epoch-granular restarts replay
+up to a full epoch of work, hours at HowTo100M scale).
 """
 
 from __future__ import annotations
@@ -97,7 +102,7 @@ def main(argv=None):
     state = trainer.init_state(jax.random.key(args.seed), example_batch)
     state = state.replace(params=params)
 
-    start_epoch, global_step = 0, 0
+    start_epoch, global_step, start_step_in_epoch = 0, 0, 0
     ckpt_path = os.path.join(args.output_dir, "train_state.msgpack")
     manager = None
     if args.checkpoint_backend == "orbax":
@@ -114,19 +119,29 @@ def main(argv=None):
             if restored is not None:
                 state, start_epoch = restored, int(meta["epoch"]) + 1
                 global_step = int(meta["global_step"])
+                start_step_in_epoch = int(meta.get("in_epoch_step", 0))
                 logger.info("resumed from orbax step %d (epoch %d, global_step %d)",
                             step, start_epoch, global_step)
         elif os.path.exists(ckpt_path):
             state, meta = restore_checkpoint(ckpt_path, state)
             start_epoch = int(meta["epoch"]) + 1
             global_step = int(meta["global_step"])
+            start_step_in_epoch = int(meta.get("in_epoch_step", 0))
             logger.info("resumed from epoch %d, global_step %d", start_epoch, global_step)
+        if start_step_in_epoch:
+            logger.info("exact mid-epoch resume: skipping %d completed "
+                        "update-batches of epoch %d",
+                        start_step_in_epoch, start_epoch + 1)
 
     # Preemption handling (no reference equivalent — the reference loses
     # any mid-epoch progress on kill): SIGTERM sets a flag; the step loop
     # saves a full train-state checkpoint and exits cleanly. Resume with
-    # --load_checkpoint restarts the interrupted epoch (deterministic
-    # batcher order). --inject_preempt_after N simulates the signal.
+    # --load_checkpoint continues EXACTLY where the run stopped: the
+    # checkpoint records the in-epoch offset, the batcher skips exactly
+    # that many update-batches (deterministic seeded order), and the step
+    # rng is keyed on global_step — so interrupted + resumed is
+    # bit-identical to an uninterrupted run (tests/test_cli.py).
+    # --inject_preempt_after N simulates the signal.
     preempt = {"hit": False}
     if not args.no_preempt_checkpoint:
         import signal as _signal
@@ -139,10 +154,11 @@ def main(argv=None):
         except ValueError:
             pass  # not the main thread; injection still works
 
-    def _preempt_save(epoch):
-        # "epochs before `epoch` are complete" -> resume restarts this one
+    def _preempt_save(epoch, in_epoch_step):
+        # "epochs before `epoch` are complete" + the exact in-epoch offset
+        # -> resume continues this epoch at the next update-batch
         meta = {"epoch": epoch - 1, "global_step": global_step,
-                "preempted": True}
+                "in_epoch_step": in_epoch_step, "preempted": True}
         if manager is not None:
             manager.save(global_step, state, metrics=meta)
         else:
@@ -158,7 +174,9 @@ def main(argv=None):
         # device-side loss accumulation; host sync only at n_display
         # boundaries (see common.run_train_epochs)
         loss_sum, n_steps = None, 0
-        it = common.make_input_iter(args, trainer, batcher, epoch)
+        epoch_offset = start_step_in_epoch if epoch == start_epoch else 0
+        it = common.make_input_iter(args, trainer, batcher, epoch,
+                                    start_batch=epoch_offset)
         for batch in it:
             state, metrics = trainer.train_step(
                 state, batch,
@@ -173,7 +191,7 @@ def main(argv=None):
             ):
                 preempt["hit"] = True
             if preempt["hit"]:
-                _preempt_save(epoch)
+                _preempt_save(epoch, epoch_offset + n_steps)
                 mw.close()
                 if manager is not None:
                     manager.close()

@@ -60,7 +60,13 @@ class Batcher:
         n = len(self.dataset)
         return n // chunk if self.drop_last else -(-n // chunk)
 
-    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(
+        self, epoch: int = 0, start_batch: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield the epoch's update-batches in the seeded deterministic
+        order. ``start_batch`` skips the first N update-batches WITHOUT
+        fetching their samples (exact mid-epoch resume: the skipped
+        prefix is sliced out of the index order, costing nothing)."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -73,7 +79,8 @@ class Batcher:
             return self.dataset[int(i)]
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-            for off in range(0, n - chunk + 1 if self.drop_last else n, chunk):
+            for off in range(start_batch * chunk,
+                             n - chunk + 1 if self.drop_last else n, chunk):
                 idxs = order[off : off + chunk]
                 if len(idxs) < chunk and self.drop_last:
                     break
