@@ -172,6 +172,55 @@ def test_tied_weights_single_source(rng):
     )
 
 
+def test_export_torch_roundtrip(rng):
+    """torch -> flax -> torch is the identity on every exportable key: the
+    reverse converter reproduces the reference state dict exactly,
+    including the tied duplicates, minus the (bert|visual).pooler params
+    UniVL never consumes."""
+    import re as _re
+
+    from univl_tpu.checkpoint.torch_convert import export_torch_state_dict
+
+    cfg = UniVLConfig.tiny(stage_two=True, do_pretrain=True, use_mil=True)
+    sd = synth_reference_state_dict(cfg, rng)
+    tree, _ = convert_torch_state_dict(sd)
+    out = export_torch_state_dict(tree)
+
+    expected = {
+        k: v for k, v in sd.items()
+        if not _re.match(r"^(bert|visual)\.pooler\.", k)
+    }
+    assert set(out) == set(expected), (
+        set(out) ^ set(expected)
+    )
+    for k, v in expected.items():
+        np.testing.assert_array_equal(out[k], v, err_msg=k)
+
+
+def test_export_torch_inverse_of_convert(rng):
+    """flax -> torch -> flax is the identity on the full model tree
+    (every initialized leaf survives the roundtrip bit-for-bit, so no
+    module is silently dropped by the export patterns)."""
+    from univl_tpu.checkpoint.torch_convert import export_torch_state_dict
+
+    cfg = UniVLConfig.tiny(stage_two=True, do_pretrain=True, use_mil=True)
+    model = UniVL(cfg)
+    batch = make_batch(cfg, rng, with_caption=True, with_pretrain=True)
+    params = model.init(jax.random.key(0), batch, deterministic=True)["params"]
+
+    sd = export_torch_state_dict(params)
+    tree, report = convert_torch_state_dict(sd)
+    assert not report["unknown"], report["unknown"]
+    merged, missing = merge_params(params, tree)
+    assert not missing, missing
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(merged),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(path))
+
+
 def test_save_restore_roundtrip(tmp_path, rng):
     cfg = UniVLConfig.tiny()
     model = UniVL(cfg)

@@ -258,6 +258,19 @@ def test_convert_checkpoint_cli(tmp_path):
         n += 1
     assert n == len(_jax.tree.leaves(expected)) and n > 50, n
 
+    # reverse direction: --export_torch writes the reference-layout .bin
+    # back from the msgpack; keys == original minus the dropped poolers,
+    # values identical for everything that came from the .bin
+    bin2 = str(tmp_path / "exported.bin")
+    main(["--export_torch", "--flax_params", out, "--output", bin2])
+    import re as _re
+
+    exported = {k: v.numpy() for k, v in torch.load(bin2, weights_only=True).items()}
+    want_keys = {k for k in sd if not _re.match(r"^(bert|visual)\.pooler\.", k)}
+    assert set(exported) == want_keys, set(exported) ^ want_keys
+    for k in want_keys:
+        np.testing.assert_array_equal(exported[k], np.asarray(sd[k]), err_msg=k)
+
 
 def test_ft_align_driver(tmp_path, vocab, youcook):
     """--train_sim_after_cross: cross-encoder loss in training, 'cross'
@@ -299,6 +312,43 @@ def test_metrics_jsonl_written(tmp_path, vocab, youcook):
     assert all(np.isfinite(r["loss"]) for r in train)
     ev = [r for r in records if r["kind"] == "eval"][0]
     assert "R1" in ev and 0.0 <= ev["R1"] <= 1.0
+
+
+def test_retrieval_preemption_resume_bitexact(tmp_path, vocab, youcook):
+    """Finetune preemption (run_train_epochs): inject mid-run, resume with
+    --load_checkpoint, and BOTH the per-epoch param checkpoints and the
+    best-model metrics must bit-match an uninterrupted run. (The reference
+    finetune drivers have no resume at all — main_task_retrieval.py offers
+    --init_model only.)"""
+    import filecmp
+    import json as _json
+
+    from univl_tpu.cli.task_retrieval import main
+
+    csv_path, data_path, feat_path = youcook
+
+    def argv(out):
+        a = ["--do_train", "--do_eval", "--datatype", "youcook",
+             "--vocab_file", vocab, "--train_csv", csv_path,
+             "--val_csv", csv_path, "--data_path", data_path,
+             "--features_path", feat_path, "--output_dir", out] + COMMON
+        a[a.index("--epochs") + 1] = "2"
+        return a
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    main(argv(out_a) + ["--inject_preempt_after", "2"])
+    meta = _json.load(open(os.path.join(out_a, "train_state.msgpack.json")))
+    assert meta["preempted"] is True
+    assert int(meta["in_epoch_step"]) >= 1
+
+    best_a = main(argv(out_a) + ["--load_checkpoint"])
+    best_b = main(argv(out_b))
+    assert best_a is not None and best_a["epoch"] == best_b["epoch"]
+    np.testing.assert_allclose(best_a["R1"], best_b["R1"])
+    for e in range(2):
+        fa = os.path.join(out_a, f"params.msgpack.{e}")
+        fb = os.path.join(out_b, f"params.msgpack.{e}")
+        assert filecmp.cmp(fa, fb, shallow=False), f"epoch {e} params differ"
 
 
 def test_pretrain_preemption_save_and_resume(tmp_path, vocab):

@@ -248,6 +248,181 @@ def convert_torch_state_dict(
     return tree, report
 
 
+# flax sub-path -> (torch suffix, kind): exact inverses of _BLOCK_MAP /
+# _DECODER_BLOCK_MAP above (kept adjacent so the two stay in sync).
+_INV_BLOCK = {
+    "attention/query": ("attention.self.query", "linear"),
+    "attention/key": ("attention.self.key", "linear"),
+    "attention/value": ("attention.self.value", "linear"),
+    "attention_output/dense": ("attention.output.dense", "linear"),
+    "attention_output/ln": ("attention.output.LayerNorm", "ln"),
+    "intermediate": ("intermediate.dense", "linear"),
+    "output/dense": ("output.dense", "linear"),
+    "output/ln": ("output.LayerNorm", "ln"),
+}
+
+_INV_DECODER_BLOCK = {
+    "self_attn/query": ("slf_attn.att.query", "linear"),
+    "self_attn/key": ("slf_attn.att.key", "linear"),
+    "self_attn/value": ("slf_attn.att.value", "linear"),
+    "self_attn_output/dense": ("slf_attn.output.dense", "linear"),
+    "self_attn_output/ln": ("slf_attn.output.LayerNorm", "ln"),
+    "enc_attn/query": ("enc_attn.att.query", "linear"),
+    "enc_attn/key": ("enc_attn.att.key", "linear"),
+    "enc_attn/value": ("enc_attn.att.value", "linear"),
+    "enc_attn_output/dense": ("enc_attn.output.dense", "linear"),
+    "enc_attn_output/ln": ("enc_attn.output.LayerNorm", "ln"),
+    "intermediate": ("intermediate.dense", "linear"),
+    "output/dense": ("output.dense", "linear"),
+    "output/ln": ("output.LayerNorm", "ln"),
+}
+
+_INV_TOP = {
+    "word_embed/embedding": "bert.embeddings.word_embeddings.weight",
+    "text_pos_embed/embedding": "bert.embeddings.position_embeddings.weight",
+    "text/type_embed/embedding": "bert.embeddings.token_type_embeddings.weight",
+    "visual/pos_embed/embedding": "visual.embeddings.position_embeddings.weight",
+    "cross/pos_embed/embedding": "cross.embeddings.position_embeddings.weight",
+    "cross/type_embed/embedding": "cross.embeddings.token_type_embeddings.weight",
+    "decoder/classifier_bias": "decoder.classifier.cls.predictions.bias",
+    "mlm_head/bias": "cls.predictions.bias",
+    "mfm_head/bias": "cls_visual.predictions.bias",
+}
+
+
+def _torch_leaf(kind: str, flax_leaf: str, value: np.ndarray):
+    """Inverse of _leaf: (kind, kernel|bias|scale|embedding) -> torch
+    param name + layout."""
+    if kind == "linear":
+        if flax_leaf == "kernel":
+            return "weight", value.T  # [in,out] -> [out,in]
+        return "bias", value
+    if kind == "ln":
+        return ("weight", value) if flax_leaf == "scale" else ("bias", value)
+    raise ValueError((kind, flax_leaf))
+
+
+def export_torch_state_dict(params: dict) -> Dict[str, np.ndarray]:
+    """flax params tree -> reference-layout torch state_dict (the exact
+    inverse of convert_torch_state_dict): torch Linear [out,in] transposes,
+    LayerNorm scale->weight, and the tied tensors the reference stores as
+    duplicates (decoder embeddings, LM-head decoder weights, the visual MFM
+    head weight) materialized from their single flax copies.
+
+    Not exported: (bert|visual).pooler.* — UniVL never consumes them, the
+    forward converter drops them, and the reference's tolerant
+    init_preweight (until_module.py:115-141) leaves them at init.
+
+    scan_layers (stacked) trees are converted to loop layout first. Raises
+    on a flax path it does not recognize — a renamed module would silently
+    vanish from the exported checkpoint otherwise."""
+    from univl_tpu.checkpoint.layout import to_loop_layout
+
+    import jax
+
+    params = to_loop_layout(
+        jax.tree.map(lambda l: np.asarray(l, dtype=np.float32), params)
+    )
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): leaf
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params)
+    }
+    sd: Dict[str, np.ndarray] = {}
+    for path, value in flat.items():
+        if path in _INV_TOP:
+            sd[_INV_TOP[path]] = value
+            continue
+        m = re.match(r"^(text|visual|cross)/embed_ln/(scale|bias)$", path)
+        if m:
+            tower = {"text": "bert"}.get(m.group(1), m.group(1))
+            name, v = _torch_leaf("ln", m.group(2), value)
+            sd[f"{tower}.embeddings.LayerNorm.{name}"] = v
+            continue
+        m = re.match(r"^feature_proj/(kernel|bias)$", path)
+        if m:
+            name, v = _torch_leaf("linear", m.group(1), value)
+            sd[f"visual.embeddings.word_embeddings.{name}"] = v
+            continue
+        m = re.match(r"^(text|visual|cross)/encoder/layer_(\d+)/(.+)/(\w+)$", path)
+        if m and m.group(3) in _INV_BLOCK:
+            tower = {"text": "bert"}.get(m.group(1), m.group(1))
+            suffix, kind = _INV_BLOCK[m.group(3)]
+            name, v = _torch_leaf(kind, m.group(4), value)
+            sd[f"{tower}.encoder.layer.{m.group(2)}.{suffix}.{name}"] = v
+            continue
+        m = re.match(r"^cross/pooler/dense/(kernel|bias)$", path)
+        if m:
+            name, v = _torch_leaf("linear", m.group(1), value)
+            sd[f"cross.pooler.dense.{name}"] = v
+            continue
+        m = re.match(r"^decoder/embed_ln/(scale|bias)$", path)
+        if m:
+            name, v = _torch_leaf("ln", m.group(1), value)
+            sd[f"decoder.embeddings.LayerNorm.{name}"] = v
+            continue
+        m = re.match(r"^decoder/layer_(\d+)/(.+)/(\w+)$", path)
+        if m and m.group(2) in _INV_DECODER_BLOCK:
+            suffix, kind = _INV_DECODER_BLOCK[m.group(2)]
+            name, v = _torch_leaf(kind, m.group(3), value)
+            sd[f"decoder.decoder.layer.{m.group(1)}.{suffix}.{name}"] = v
+            continue
+        m = re.match(
+            r"^decoder/classifier_transform/(dense|ln)/(\w+)$", path
+        )
+        if m:
+            kind = "linear" if m.group(1) == "dense" else "ln"
+            tname = "dense" if m.group(1) == "dense" else "LayerNorm"
+            name, v = _torch_leaf(kind, m.group(2), value)
+            sd[f"decoder.classifier.cls.predictions.transform.{tname}.{name}"] = v
+            continue
+        m = re.match(r"^(mlm_head|mfm_head)/transform/(dense|ln)/(\w+)$", path)
+        if m:
+            head = "cls" if m.group(1) == "mlm_head" else "cls_visual"
+            kind = "linear" if m.group(2) == "dense" else "ln"
+            tname = "dense" if m.group(2) == "dense" else "LayerNorm"
+            name, v = _torch_leaf(kind, m.group(3), value)
+            sd[f"{head}.predictions.transform.{tname}.{name}"] = v
+            continue
+        m = re.match(r"^video_norm/(scale|bias)$", path)
+        if m:
+            name, v = _torch_leaf("ln", m.group(1), value)
+            sd[f"normalize_video.visual_norm2d.{name}"] = v
+            continue
+        m = re.match(r"^similarity_dense/(kernel|bias)$", path)
+        if m:
+            name, v = _torch_leaf("linear", m.group(1), value)
+            sd[f"similarity_dense.{name}"] = v
+            continue
+        raise ValueError(f"unrecognized flax param path: {path}")
+
+    # tied duplicates the reference stores explicitly
+    word = sd.get("bert.embeddings.word_embeddings.weight")
+    pos = sd.get("bert.embeddings.position_embeddings.weight")
+    if "decoder.embeddings.LayerNorm.weight" in sd and word is not None:
+        sd["decoder.embeddings.word_embeddings.weight"] = word
+        if pos is not None:
+            sd["decoder.embeddings.position_embeddings.weight"] = pos
+        sd["decoder.classifier.cls.predictions.decoder.weight"] = word
+    if "cls.predictions.bias" in sd and word is not None:
+        sd["cls.predictions.decoder.weight"] = word
+    if (
+        "cls_visual.predictions.bias" in sd
+        and "visual.embeddings.word_embeddings.weight" in sd
+    ):
+        sd["cls_visual.predictions.weight"] = sd[
+            "visual.embeddings.word_embeddings.weight"
+        ]
+    return sd
+
+
+def save_torch_bin(path: str, params: dict) -> None:
+    """Write the exported state dict as a torch .bin (reference format)."""
+    import torch
+
+    sd = export_torch_state_dict(params)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+
+
 def merge_params(init_params: dict, loaded: dict, require_all: bool = False):
     """Overlay loaded leaves onto an initialized tree; returns
     (merged, missing_paths). Shapes must match; dtypes follow init."""

@@ -89,6 +89,20 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--data_path", type=str, default="data/youcookii_caption.pickle")
     p.add_argument("--features_path", type=str, default="data/youcookii_videos_feature.pickle")
 
+    # Preemption handling + exact resume (all drivers; no reference
+    # equivalent — the reference loses any in-flight progress on kill).
+    p.add_argument("--load_checkpoint", action="store_true",
+                   help="resume from <output_dir>/train_state.msgpack "
+                        "(written on preemption and at each epoch end): "
+                        "continues at the exact update-batch, bit-identical "
+                        "to an uninterrupted run")
+    p.add_argument("--no_preempt_checkpoint", action="store_true",
+                   help="do NOT checkpoint-and-exit on SIGTERM (preemption); "
+                        "also skips the per-epoch full train-state write")
+    p.add_argument("--inject_preempt_after", type=int, default=0,
+                   help="fault injection: simulate a preemption signal after "
+                        "N steps (testing the SIGTERM save/resume path)")
+
     p.add_argument("--num_thread_reader", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--epochs", type=int, default=20)
@@ -482,15 +496,63 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
 
     Returns (state, best_metrics). Saves per-epoch checkpoints like the
     reference (pytorch_model.bin.<epoch> -> params.msgpack.<epoch>).
+
+    Preemption (SIGTERM, or --inject_preempt_after for testing): saves the
+    full train state with the exact in-epoch offset and exits cleanly;
+    --load_checkpoint resumes at the next update-batch, bit-identical to an
+    uninterrupted run (batcher order is seeded, the step rng is keyed on
+    global_step, best-model tracking is carried in the metadata). The
+    reference finetune drivers have no resume at all (main_task_*.py:
+    --init_model only).
     """
     import jax
 
-    from univl_tpu.checkpoint.io import save_checkpoint
+    from univl_tpu.checkpoint.io import restore_checkpoint, save_checkpoint
     from univl_tpu.utils.profiling import StepTimer
 
     best = None
     best_score = -np.inf
     global_step = 0
+    start_epoch, start_step_in_epoch = 0, 0
+    ckpt_path = os.path.join(args.output_dir, "train_state.msgpack")
+    if getattr(args, "load_checkpoint", False) and os.path.exists(ckpt_path):
+        state, meta = restore_checkpoint(ckpt_path, state)
+        start_epoch = int(meta["epoch"]) + 1
+        global_step = int(meta["global_step"])
+        start_step_in_epoch = int(meta.get("in_epoch_step", 0))
+        if meta.get("best") is not None:
+            best = dict(meta["best"])
+            best_score = float(meta["best_score"])
+        logger.info(
+            "resumed from epoch %d, global_step %d (in-epoch offset %d)",
+            start_epoch, global_step, start_step_in_epoch,
+        )
+
+    preempt = {"hit": False}
+    if not getattr(args, "no_preempt_checkpoint", False):
+        import signal as _signal
+
+        def _on_term(signum, frame):
+            preempt["hit"] = True
+
+        try:
+            _signal.signal(_signal.SIGTERM, _on_term)
+        except ValueError:
+            pass  # not the main thread; injection still works
+
+    def _save_train_state(epoch, in_epoch_step, preempted):
+        best_json = None if best is None else {
+            k: (float(v) if isinstance(v, (np.floating, np.integer)) else v)
+            for k, v in best.items()
+            if isinstance(v, (int, float, str, np.floating, np.integer))
+        }
+        meta = {"epoch": epoch - 1 if in_epoch_step else epoch,
+                "global_step": global_step,
+                "in_epoch_step": in_epoch_step, "preempted": preempted,
+                "best": best_json,
+                "best_score": None if best is None else float(best_score)}
+        save_checkpoint(ckpt_path, state, metadata=meta)
+
     timer = StepTimer()
     mw = MetricsWriter(args.output_dir)
     # hoisted: constructing jax.random.key per step costs ~3 ms host time
@@ -498,13 +560,16 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
     items_per_step = args.batch_size * args.gradient_accumulation_steps
     profile_dir = getattr(args, "profile_dir", None)
     profiling = False
-    for epoch in range(args.epochs):
+    steps_at_start = global_step
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         # loss accumulates ON DEVICE: fetching it every step would force a
         # host sync per step (a full pipeline stall; ~25 ms RTT on tunneled
         # backends). We only sync at n_display boundaries and epoch end.
         loss_sum, n_steps = None, 0
-        it = make_input_iter(args, trainer, batcher, epoch)
+        epoch_offset = start_step_in_epoch if epoch == start_epoch else 0
+        it = make_input_iter(args, trainer, batcher, epoch,
+                             start_batch=epoch_offset)
         for step, batch in enumerate(it):
             if profile_dir and epoch == 0 and step == 2 and not profiling:
                 import jax as _jax
@@ -518,6 +583,19 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
             n_steps += 1
             loss_sum = metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
             timer.tick(items_per_step)
+            if (
+                getattr(args, "inject_preempt_after", 0)
+                and global_step - steps_at_start >= args.inject_preempt_after
+            ):
+                preempt["hit"] = True
+            if preempt["hit"]:
+                _save_train_state(epoch, epoch_offset + n_steps, True)
+                logger.info(
+                    "preempted at epoch %d step %d: checkpoint saved, exiting",
+                    epoch + 1, global_step,
+                )
+                mw.close()
+                return state, best
             if profiling and step == 7:
                 import jax as _jax
 
@@ -557,6 +635,10 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
             mw.write("eval", epoch=epoch,
                      **{k: v for k, v in metrics.items()
                         if isinstance(v, (int, float))})
+        if not getattr(args, "no_preempt_checkpoint", False):
+            # full train state (params + optimizer + best tracking) so a
+            # kill between epochs also resumes exactly
+            _save_train_state(epoch, 0, False)
     if best is not None:
         logger.info("Best: %s", best)
     mw.close()

@@ -1,4 +1,4 @@
-"""Standalone checkpoint converter: torch univl.pretrained.bin -> flax msgpack.
+"""Standalone checkpoint converter: torch univl.pretrained.bin <-> flax msgpack.
 
     python -m univl_tpu.cli.convert_checkpoint \
         --torch_bin weight/univl.pretrained.bin \
@@ -10,6 +10,13 @@ The module set in the flax tree depends on the config flags (stage-one
 models have no cross/decoder, matching reference modeling.py:148), so pass
 the same flags you will train/eval with. Conversion happens lazily at
 --init_model time anyway; this tool is for one-time conversion + inspection.
+
+Reverse direction (export a trained flax checkpoint back to the reference's
+torch .bin layout, e.g. to evaluate with the original codebase):
+
+    python -m univl_tpu.cli.convert_checkpoint \
+        --export_torch --flax_params ckpt/params.msgpack.4 \
+        --output univl_exported.bin
 """
 
 from __future__ import annotations
@@ -20,8 +27,14 @@ import numpy as np
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description="torch -> flax checkpoint converter")
-    p.add_argument("--torch_bin", required=True)
+    p = argparse.ArgumentParser(description="torch <-> flax checkpoint converter")
+    p.add_argument("--export_torch", action="store_true",
+                   help="reverse direction: flax params msgpack -> torch .bin "
+                        "(reference layout, tied duplicates materialized)")
+    p.add_argument("--flax_params", type=str, default=None,
+                   help="with --export_torch: the params msgpack to export "
+                        "(a params.msgpack.<epoch> / best.msgpack file)")
+    p.add_argument("--torch_bin", required=False)
     p.add_argument("--output", required=True)
     p.add_argument("--stage_two", action="store_true")
     p.add_argument("--do_pretrain", action="store_true")
@@ -39,6 +52,19 @@ def main(argv=None):
     p.add_argument("--vocab_size", type=int, default=30522)
     args = p.parse_args(argv)
 
+    if args.export_torch:
+        assert args.flax_params, "--export_torch requires --flax_params"
+        from flax import serialization
+
+        from univl_tpu.checkpoint.torch_convert import save_torch_bin
+
+        with open(args.flax_params, "rb") as f:
+            params = serialization.msgpack_restore(f.read())
+        save_torch_bin(args.output, params)
+        print("wrote", args.output)
+        return
+
+    assert args.torch_bin, "--torch_bin required (or use --export_torch)"
     import jax
 
     from univl_tpu.checkpoint.io import save_checkpoint

@@ -34,7 +34,6 @@ def add_pretrain_args(p):
     p.add_argument("--min_time", type=float, default=5.0)
     p.add_argument("--use_data_replicate", type=int, default=0)  # parity, unused
     p.add_argument("--pretrain_enhance_vmodal", action="store_true")
-    p.add_argument("--load_checkpoint", action="store_true")
     p.add_argument("--checkpoint_model", type=str, default="pytorch_model.bin.checkpoint")
     p.add_argument("--checkpoint_backend", type=str, default="msgpack",
                    choices=["msgpack", "orbax"],
@@ -46,11 +45,8 @@ def add_pretrain_args(p):
                    help="orbax backend: overlap the checkpoint disk write "
                         "with training (save returns after the device->host "
                         "copy; restore/close wait for pending writes)")
-    p.add_argument("--no_preempt_checkpoint", action="store_true",
-                   help="do NOT checkpoint-and-exit on SIGTERM (preemption)")
-    p.add_argument("--inject_preempt_after", type=int, default=0,
-                   help="fault injection: simulate a preemption signal after "
-                        "N steps (testing the SIGTERM save/resume path)")
+    # --load_checkpoint / --no_preempt_checkpoint / --inject_preempt_after
+    # come from common.base_parser (shared with the finetune drivers).
     return p
 
 
