@@ -333,6 +333,32 @@ def test_beam_search_hypotheses(setup, fast):
         assert ours == theirs, f"instance {i}: {ours} != {theirs}"
 
 
+def test_export_torch_matches_reference_state_dict(setup):
+    """(e) --export_torch closes the checkpoint loop against the REAL
+    reference model: exporting our flax params reproduces the reference's
+    own state_dict() exactly (same keys minus the unused poolers, same
+    values, tied duplicates included), and a reference model accepts it
+    via load_state_dict with nothing unexpected."""
+    import re as _re
+
+    from univl_tpu.checkpoint.torch_convert import export_torch_state_dict
+
+    cfg, ref, model, params, batch = setup
+    sd_ref = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    out = export_torch_state_dict(params["params"])
+
+    want = {k for k in sd_ref if not _re.match(r"^(bert|visual)\.pooler\.", k)}
+    assert set(out) == want, set(out) ^ want
+    for k in sorted(want):
+        np.testing.assert_array_equal(out[k], sd_ref[k], err_msg=k)
+
+    result = ref.load_state_dict({k: _t(v) for k, v in out.items()},
+                                 strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    assert all(_re.match(r"^(bert|visual)\.pooler\.", m)
+               for m in result.missing_keys), result.missing_keys
+
+
 def test_retrieval_sim_matrices(setup):
     """(d) reference mean-pool joint matrix and chunked cross-rescoring
     matrix (modeling.py:327-391) == RetrievalEvaluator's."""
