@@ -221,6 +221,22 @@ def test_export_torch_inverse_of_convert(rng):
             np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(path))
 
 
+def test_export_torch_from_scan_layout(rng):
+    """A scan_layers (stacked) tree exports identically to its loop-layout
+    twin — export_torch_state_dict converts the layout internally."""
+    from univl_tpu.checkpoint.layout import to_scan_layout
+    from univl_tpu.checkpoint.torch_convert import export_torch_state_dict
+
+    cfg = UniVLConfig.tiny(stage_two=True, do_pretrain=True, use_mil=True)
+    sd = synth_reference_state_dict(cfg, rng)
+    tree, _ = convert_torch_state_dict(sd)
+    a = export_torch_state_dict(tree)
+    b = export_torch_state_dict(to_scan_layout(tree))
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_save_restore_roundtrip(tmp_path, rng):
     cfg = UniVLConfig.tiny()
     model = UniVL(cfg)
