@@ -351,10 +351,13 @@ def test_retrieval_preemption_resume_bitexact(tmp_path, vocab, youcook):
         assert filecmp.cmp(fa, fb, shallow=False), f"epoch {e} params differ"
 
 
-def test_pretrain_preemption_save_and_resume(tmp_path, vocab):
+@pytest.mark.parametrize("backend", ["msgpack", "orbax"])
+def test_pretrain_preemption_save_and_resume(tmp_path, vocab, backend):
     """Simulated preemption (fault injection): checkpoint mid-run, exit
     cleanly, resume continues the interrupted epoch at the exact
-    update-batch — bit-identical to a run that was never preempted."""
+    update-batch — bit-identical to a run that was never preempted.
+    Covered for BOTH checkpoint backends (the orbax manager carries the
+    in-epoch offset through its metrics metadata)."""
     import json as _json
 
     import jax as _jax
@@ -370,17 +373,18 @@ def test_pretrain_preemption_save_and_resume(tmp_path, vocab):
         ["--do_pretrain", "--sampled_use_mil", "--n_pair", "2",
          "--vocab_file", vocab, "--train_csv", csv_path,
          "--data_path", data_path, "--features_path", feat_dir,
-         "--output_dir", out, "--min_time", "5.0"] + COMMON
+         "--output_dir", out, "--min_time", "5.0",
+         "--checkpoint_backend", backend] + COMMON
     )
     argv[argv.index("--epochs") + 1] = "3"
 
     state = main(argv + ["--inject_preempt_after", "2"])
     steps_done = int(state.step)
     assert steps_done == 2  # stopped right after the injected signal
-    meta = _json.load(open(os.path.join(out, "train_state.msgpack.json")))
-    assert meta["preempted"] is True
-
-    assert int(meta["in_epoch_step"]) >= 0
+    if backend == "msgpack":
+        meta = _json.load(open(os.path.join(out, "train_state.msgpack.json")))
+        assert meta["preempted"] is True
+        assert int(meta["in_epoch_step"]) >= 0
 
     state2 = main(argv + ["--load_checkpoint"])
     assert int(state2.step) > steps_done  # resumed past the save point
