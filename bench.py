@@ -49,22 +49,19 @@ def _init_backend_or_die(deadline_s: float = 600.0, poll_s: float = 30.0):
 
         th = threading.Thread(target=probe, daemon=True)
         th.start()
-        th.join(poll_s)
+        # wait for THIS attempt to finish (poll so a slow error, e.g. a
+        # ~45s UNAVAILABLE, still leads to a retry — not a one-shot exit)
+        while th.is_alive() and time.monotonic() - t0 < deadline_s:
+            th.join(poll_s)
         if "devices" in result:
             return result["devices"]
         if "error" in result:
             last_err = result["error"]
-            time.sleep(poll_s)
-        elif th.is_alive():
-            # init is wedged in C++; a fresh attempt in this process won't
-            # detach it — keep waiting on the same thread until deadline
-            remaining = deadline_s - (time.monotonic() - t0)
-            th.join(max(0.0, remaining))
-            if "devices" in result:
-                return result["devices"]
-            if "error" in result:
-                last_err = result["error"]
-            break
+            time.sleep(min(poll_s, max(0.0, deadline_s - (time.monotonic() - t0))))
+            continue
+        # thread still wedged in C++ init at the deadline; a fresh attempt
+        # in this process cannot detach it — give up cleanly
+        break
     print(
         f"bench.py: backend unavailable after {deadline_s:.0f}s "
         f"(axon tunnel down?): {last_err!r}",

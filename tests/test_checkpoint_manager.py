@@ -20,6 +20,20 @@ def _state(v: float):
     return {"w": jnp.full((4, 4), v), "step": jnp.asarray(int(v))}
 
 
+def test_save_same_step_overwrites(tmp_path):
+    """Saving the SAME step twice overwrites (file-path semantics) rather
+    than raising StepAlreadyExistsError — a preemption at an epoch's last
+    update-batch saves at the global_step the epoch-end save reuses, and
+    the resume would otherwise crash there forever."""
+    mgr = RotatingCheckpointManager(str(tmp_path / "ck"), max_to_keep=3)
+    assert mgr.save(5, _state(1.0), metrics={"epoch": 0, "preempted": True})
+    assert mgr.save(5, _state(2.0), metrics={"epoch": 1, "preempted": False})
+    state, meta = mgr.restore(5, _state(0.0))
+    np.testing.assert_array_equal(np.asarray(state["w"]), np.full((4, 4), 2.0))
+    assert meta["epoch"] == 1 and meta["preempted"] is False
+    mgr.close()
+
+
 def test_async_save_restore_roundtrip(tmp_path):
     """async_save=True: saves return without blocking on the disk write;
     restore waits for pending writes and returns exact values; rotation

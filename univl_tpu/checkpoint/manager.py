@@ -61,7 +61,20 @@ class RotatingCheckpointManager:
         never orphan them, and feed the best-checkpoint policy.
         """
         ocp = self._ocp
-        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        # floats coerce (numpy scalars -> JSON); bools/None/dicts pass through
+        metrics = {
+            k: (float(v) if isinstance(v, (int, float))
+                and not isinstance(v, bool) else v)
+            for k, v in (metrics or {}).items()
+        }
+        # Overwrite semantics on step collision (like the msgpack file
+        # path): a preemption at the last update-batch of an epoch saves at
+        # the same global_step the epoch-end save would use — without the
+        # delete, orbax raises StepAlreadyExistsError and every resume
+        # repeats the crash.
+        if step in set(self._mgr.all_steps()):
+            self._mgr.wait_until_finished()
+            self._mgr.delete(step)
         # async: hand orbax the device arrays — it copies them to host
         # before returning and writes on a background thread.
         payload = state if self.async_save else jax.device_get(state)

@@ -490,6 +490,33 @@ def make_input_iter(args, trainer, batcher, epoch: int, start_batch: int = 0):
     )
 
 
+def make_preempt_flag(args) -> dict:
+    """Install the SIGTERM -> flag handler shared by every driver's train
+    loop (pretrain + run_train_epochs). Returns the mutable flag dict."""
+    preempt = {"hit": False}
+    if not getattr(args, "no_preempt_checkpoint", False):
+        import signal as _signal
+
+        def _on_term(signum, frame):
+            preempt["hit"] = True
+
+        try:
+            _signal.signal(_signal.SIGTERM, _on_term)
+        except ValueError:
+            pass  # not the main thread; injection still works
+    return preempt
+
+
+def preempt_hit(args, preempt: dict, steps_since_start: int) -> bool:
+    """Check (and fault-inject) the preemption flag after a step."""
+    if (
+        getattr(args, "inject_preempt_after", 0)
+        and steps_since_start >= args.inject_preempt_after
+    ):
+        preempt["hit"] = True
+    return preempt["hit"]
+
+
 def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
                      select_key=None, select_sign=1.0):
     """Generic epoch loop: train, optionally eval + best-model selection.
@@ -515,30 +542,29 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
     global_step = 0
     start_epoch, start_step_in_epoch = 0, 0
     ckpt_path = os.path.join(args.output_dir, "train_state.msgpack")
-    if getattr(args, "load_checkpoint", False) and os.path.exists(ckpt_path):
-        state, meta = restore_checkpoint(ckpt_path, state)
-        start_epoch = int(meta["epoch"]) + 1
-        global_step = int(meta["global_step"])
-        start_step_in_epoch = int(meta.get("in_epoch_step", 0))
-        if meta.get("best") is not None:
-            best = dict(meta["best"])
-            best_score = float(meta["best_score"])
-        logger.info(
-            "resumed from epoch %d, global_step %d (in-epoch offset %d)",
-            start_epoch, global_step, start_step_in_epoch,
-        )
+    if getattr(args, "load_checkpoint", False):
+        if os.path.exists(ckpt_path):
+            state, meta = restore_checkpoint(ckpt_path, state)
+            start_epoch = int(meta["epoch"]) + 1
+            global_step = int(meta["global_step"])
+            start_step_in_epoch = int(meta.get("in_epoch_step", 0))
+            if meta.get("best") is not None:
+                best = dict(meta["best"])
+                best_score = float(meta["best_score"])
+            logger.info(
+                "resumed from epoch %d, global_step %d (in-epoch offset %d)",
+                start_epoch, global_step, start_step_in_epoch,
+            )
+        else:
+            # tolerate (auto-restart loops pass --load_checkpoint
+            # unconditionally) but say so LOUDLY — a mistyped --output_dir
+            # silently retraining from scratch is worse
+            logger.warning(
+                "--load_checkpoint: no checkpoint at %s — starting from "
+                "scratch", ckpt_path,
+            )
 
-    preempt = {"hit": False}
-    if not getattr(args, "no_preempt_checkpoint", False):
-        import signal as _signal
-
-        def _on_term(signum, frame):
-            preempt["hit"] = True
-
-        try:
-            _signal.signal(_signal.SIGTERM, _on_term)
-        except ValueError:
-            pass  # not the main thread; injection still works
+    preempt = make_preempt_flag(args)
 
     def _save_train_state(epoch, in_epoch_step, preempted):
         best_json = None if best is None else {
@@ -583,12 +609,7 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
             n_steps += 1
             loss_sum = metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
             timer.tick(items_per_step)
-            if (
-                getattr(args, "inject_preempt_after", 0)
-                and global_step - steps_at_start >= args.inject_preempt_after
-            ):
-                preempt["hit"] = True
-            if preempt["hit"]:
+            if preempt_hit(args, preempt, global_step - steps_at_start):
                 _save_train_state(epoch, epoch_offset + n_steps, True)
                 logger.info(
                     "preempted at epoch %d step %d: checkpoint saved, exiting",
@@ -616,6 +637,16 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
                     epoch + 1, total_loss / max(n_steps, 1), time.time() - t0)
         mw.write("epoch", epoch=epoch, mean_loss=total_loss / max(n_steps, 1),
                  seconds=time.time() - t0, steps=n_steps)
+
+        # A SIGTERM that landed between the last step and here (or that
+        # would otherwise wait out a minutes-long eval) must save NOW —
+        # preemption grace windows are typically 30-90s.
+        if preempt["hit"]:
+            _save_train_state(epoch, epoch_offset + n_steps, True)
+            logger.info("preempted at epoch %d end: checkpoint saved, "
+                        "exiting before eval", epoch + 1)
+            mw.close()
+            return state, best
 
         ckpt = os.path.join(args.output_dir, f"params.msgpack.{epoch}")
         save_checkpoint(ckpt, state.params,

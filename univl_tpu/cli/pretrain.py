@@ -118,12 +118,22 @@ def main(argv=None):
                 start_step_in_epoch = int(meta.get("in_epoch_step", 0))
                 logger.info("resumed from orbax step %d (epoch %d, global_step %d)",
                             step, start_epoch, global_step)
+            else:
+                logger.warning(
+                    "--load_checkpoint: no orbax checkpoint in %s — "
+                    "starting from scratch", args.output_dir,
+                )
         elif os.path.exists(ckpt_path):
             state, meta = restore_checkpoint(ckpt_path, state)
             start_epoch = int(meta["epoch"]) + 1
             global_step = int(meta["global_step"])
             start_step_in_epoch = int(meta.get("in_epoch_step", 0))
             logger.info("resumed from epoch %d, global_step %d", start_epoch, global_step)
+        else:
+            logger.warning(
+                "--load_checkpoint: no checkpoint in %s — starting from "
+                "scratch", args.output_dir,
+            )
         if start_step_in_epoch:
             logger.info("exact mid-epoch resume: skipping %d completed "
                         "update-batches of epoch %d",
@@ -138,22 +148,13 @@ def main(argv=None):
     # rng is keyed on global_step — so interrupted + resumed is
     # bit-identical to an uninterrupted run (tests/test_cli.py).
     # --inject_preempt_after N simulates the signal.
-    preempt = {"hit": False}
-    if not args.no_preempt_checkpoint:
-        import signal as _signal
-
-        def _on_term(signum, frame):
-            preempt["hit"] = True
-
-        try:
-            _signal.signal(_signal.SIGTERM, _on_term)
-        except ValueError:
-            pass  # not the main thread; injection still works
+    preempt = common.make_preempt_flag(args)
 
     def _preempt_save(epoch, in_epoch_step):
         # "epochs before `epoch` are complete" + the exact in-epoch offset
         # -> resume continues this epoch at the next update-batch
-        meta = {"epoch": epoch - 1, "global_step": global_step,
+        meta = {"epoch": epoch - 1 if in_epoch_step else epoch,
+                "global_step": global_step,
                 "in_epoch_step": in_epoch_step, "preempted": True}
         if manager is not None:
             manager.save(global_step, state, metrics=meta)
@@ -181,12 +182,7 @@ def main(argv=None):
             global_step += 1
             n_steps += 1
             loss_sum = metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
-            if (
-                args.inject_preempt_after
-                and global_step - steps_at_start >= args.inject_preempt_after
-            ):
-                preempt["hit"] = True
-            if preempt["hit"]:
+            if common.preempt_hit(args, preempt, global_step - steps_at_start):
                 _preempt_save(epoch, epoch_offset + n_steps)
                 mw.close()
                 if manager is not None:
@@ -218,6 +214,16 @@ def main(argv=None):
                 os.path.join(args.output_dir, f"params.msgpack.{epoch}"), state.params,
                 metadata={"epoch": epoch, "global_step": global_step},
             )
+        # SIGTERM between the last step and here: the epoch-end save above
+        # already recorded the completed epoch — exit now rather than start
+        # the next epoch inside a 30-90s preemption grace window
+        if preempt["hit"]:
+            logger.info("preempted at epoch %d end: checkpoint saved, exiting",
+                        epoch + 1)
+            mw.close()
+            if manager is not None:
+                manager.close()
+            return state
     mw.close()
     if manager is not None:
         manager.close()
