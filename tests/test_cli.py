@@ -351,6 +351,49 @@ def test_retrieval_preemption_resume_bitexact(tmp_path, vocab, youcook):
         assert filecmp.cmp(fa, fb, shallow=False), f"epoch {e} params differ"
 
 
+def test_retrieval_preempt_after_eval_carries_best(tmp_path, vocab, youcook):
+    """Preemption AFTER an epoch completed (first step of epoch 1): the
+    checkpoint carries epoch 0's best-model tracking, so the resumed run
+    reports the overall best across BOTH runs — not just the epochs it saw
+    itself — and the final params stay bit-identical to an uninterrupted
+    2-epoch run. (Runs must share --epochs: t_total and hence the lr
+    schedule depend on it.)"""
+    import filecmp
+    import json as _json
+
+    from univl_tpu.cli.task_retrieval import main
+
+    csv_path, data_path, feat_path = youcook
+
+    def argv(out):
+        a = ["--do_train", "--do_eval", "--datatype", "youcook",
+             "--vocab_file", vocab, "--train_csv", csv_path,
+             "--val_csv", csv_path, "--data_path", data_path,
+             "--features_path", feat_path, "--output_dir", out] + COMMON
+        a[a.index("--epochs") + 1] = "2"
+        return a
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    best_b = main(argv(out_b))  # uninterrupted baseline
+    records = [_json.loads(l)
+               for l in open(os.path.join(out_b, "metrics.jsonl"))]
+    spe = [r for r in records if r["kind"] == "epoch"][0]["steps"]
+
+    main(argv(out_a) + ["--inject_preempt_after", str(int(spe) + 1)])
+    meta = _json.load(open(os.path.join(out_a, "train_state.msgpack.json")))
+    assert meta["preempted"] is True
+    assert meta["best"] is not None and meta["best"]["epoch"] == 0
+
+    best_a = main(argv(out_a) + ["--load_checkpoint"])
+    assert best_a["epoch"] == best_b["epoch"]
+    np.testing.assert_allclose(best_a["R1"], best_b["R1"])
+    for e in range(2):
+        assert filecmp.cmp(
+            os.path.join(out_a, f"params.msgpack.{e}"),
+            os.path.join(out_b, f"params.msgpack.{e}"), shallow=False,
+        ), f"epoch {e} params differ"
+
+
 @pytest.mark.parametrize("backend", ["msgpack", "orbax"])
 def test_pretrain_preemption_save_and_resume(tmp_path, vocab, backend):
     """Simulated preemption (fault injection): checkpoint mid-run, exit
