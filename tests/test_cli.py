@@ -394,6 +394,45 @@ def test_retrieval_preempt_after_eval_carries_best(tmp_path, vocab, youcook):
         ), f"epoch {e} params differ"
 
 
+def test_pretrain_periodic_checkpoint_survives_crash(tmp_path, vocab):
+    """--checkpoint_every_steps: an UNCLEAN kill (no SIGTERM, no save —
+    injected RuntimeError) loses at most the steps since the last periodic
+    checkpoint; resume replays them bit-identically (global_step-keyed rng
+    + seeded batcher order), ending equal to an uninterrupted run."""
+    import jax as _jax
+
+    ht = str(tmp_path / "ht")
+    csv_path, data_path, feat_dir = fixtures.make_howto100m(
+        ht, n_videos=8, clips_per_video=4, video_dim=32, corrupt_last=False,
+    )
+    from univl_tpu.cli.pretrain import main
+
+    def argv(out):
+        a = (["--do_pretrain", "--sampled_use_mil", "--n_pair", "2",
+              "--vocab_file", vocab, "--train_csv", csv_path,
+              "--data_path", data_path, "--features_path", feat_dir,
+              "--output_dir", out, "--min_time", "5.0",
+              "--checkpoint_every_steps", "2"] + COMMON)
+        a[a.index("--epochs") + 1] = "3"
+        return a
+
+    out = str(tmp_path / "pre")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        main(argv(out) + ["--inject_crash_after", "3"])
+    # last periodic save was at step 2; step 3's work is lost and replayed
+    state2 = main(argv(out) + ["--load_checkpoint"])
+
+    out_full = str(tmp_path / "pre_full")
+    state_full = main(argv(out_full))
+    assert int(state2.step) == int(state_full.step)
+    for (path, a), (_, b) in zip(
+        _jax.tree_util.tree_leaves_with_path(state2.params),
+        _jax.tree_util.tree_leaves_with_path(state_full.params),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=str(path))
+
+
 @pytest.mark.parametrize("backend", ["msgpack", "orbax"])
 def test_pretrain_preemption_save_and_resume(tmp_path, vocab, backend):
     """Simulated preemption (fault injection): checkpoint mid-run, exit

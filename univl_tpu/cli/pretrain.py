@@ -45,6 +45,17 @@ def add_pretrain_args(p):
                    help="orbax backend: overlap the checkpoint disk write "
                         "with training (save returns after the device->host "
                         "copy; restore/close wait for pending writes)")
+    p.add_argument("--checkpoint_every_steps", type=int, default=0,
+                   help="also checkpoint the full train state every N "
+                        "update-steps WITHIN an epoch (HowTo100M epochs are "
+                        "~1M clips; per-epoch-only saves lose everything to "
+                        "an unclean kill). Resume replays at most N-1 steps, "
+                        "bit-identically (global_step-keyed rng + seeded "
+                        "batcher order).")
+    p.add_argument("--inject_crash_after", type=int, default=0,
+                   help="fault injection: raise (NO checkpoint, simulating "
+                        "an unclean kill) after N steps — tests the "
+                        "periodic-checkpoint resume path")
     # --load_checkpoint / --no_preempt_checkpoint / --inject_preempt_after
     # come from common.base_parser (shared with the finetune drivers).
     return p
@@ -150,16 +161,19 @@ def main(argv=None):
     # --inject_preempt_after N simulates the signal.
     preempt = common.make_preempt_flag(args)
 
-    def _preempt_save(epoch, in_epoch_step):
+    def _save_midtrain(epoch, in_epoch_step, preempted):
         # "epochs before `epoch` are complete" + the exact in-epoch offset
         # -> resume continues this epoch at the next update-batch
         meta = {"epoch": epoch - 1 if in_epoch_step else epoch,
                 "global_step": global_step,
-                "in_epoch_step": in_epoch_step, "preempted": True}
+                "in_epoch_step": in_epoch_step, "preempted": preempted}
         if manager is not None:
             manager.save(global_step, state, metrics=meta)
         else:
             save_checkpoint(ckpt_path, state, metadata=meta)
+
+    def _preempt_save(epoch, in_epoch_step):
+        _save_midtrain(epoch, in_epoch_step, True)
         logger.info("preempted at epoch %d step %d: checkpoint saved, exiting",
                     epoch + 1, global_step)
 
@@ -188,6 +202,18 @@ def main(argv=None):
                 if manager is not None:
                     manager.close()
                 return state
+            if (
+                args.inject_crash_after
+                and global_step - steps_at_start >= args.inject_crash_after
+            ):
+                raise RuntimeError("injected crash (no checkpoint)")
+            if (
+                args.checkpoint_every_steps
+                and n_steps % args.checkpoint_every_steps == 0
+            ):
+                _save_midtrain(epoch, epoch_offset + n_steps, False)
+                logger.info("periodic checkpoint at epoch %d step %d",
+                            epoch + 1, global_step)
             if global_step % args.n_display == 0:
                 sub = {k: round(float(v), 4) for k, v in metrics.items() if k != "loss"}
                 logger.info(
