@@ -34,6 +34,29 @@ def test_save_same_step_overwrites(tmp_path):
     mgr.close()
 
 
+def test_async_same_step_collision(tmp_path):
+    """Same-step overwrite while the FIRST save is still in flight
+    (async): a periodic checkpoint at an epoch's last update-batch
+    followed immediately by the epoch-end save hits exactly this. Works
+    because orbax's all_steps() includes the in-flight tmp step, so the
+    manager's collision check waits + deletes before re-saving; this test
+    pins that property against orbax version changes."""
+    mgr = RotatingCheckpointManager(
+        str(tmp_path / "ck"), max_to_keep=3, async_save=True
+    )
+    # large enough that the background write is still in flight when the
+    # second save runs its collision check (a 4x4 state commits too fast
+    # to exercise the race)
+    big = lambda v: {"w": jnp.full((4, 4), v), "m": jnp.full((512, 4096), v)}
+    assert mgr.save(7, big(1.0), metrics={"epoch": 0, "preempted": False})
+    # no wait: the first save may still be writing
+    assert mgr.save(7, big(2.0), metrics={"epoch": 0, "preempted": True})
+    state, meta = mgr.restore(7, big(0.0))
+    np.testing.assert_array_equal(np.asarray(state["w"]), np.full((4, 4), 2.0))
+    assert meta["preempted"] is True
+    mgr.close()
+
+
 def test_async_save_restore_roundtrip(tmp_path):
     """async_save=True: saves return without blocking on the disk write;
     restore waits for pending writes and returns exact values; rotation
