@@ -144,3 +144,65 @@ def test_bucketed_cache_parity_at_boundaries(setup, max_len):
     tf, sf = fast(*args)
     np.testing.assert_array_equal(np.asarray(ts), np.asarray(tf))
     np.testing.assert_allclose(np.asarray(ss), np.asarray(sf), atol=1e-4)
+
+
+def test_fused_decode_attention_kernel_matches_oracle():
+    """kernels/decode_attention.py (interpret mode, exact f32) ==
+    reorder-then-update-then-attend composed from plain jnp ops — the
+    exact semantics fast_decoder.step + the grouped reorder produce."""
+    from univl_tpu.kernels.decode_attention import beam_decode_self_attention
+
+    B, K, H, L, D = 3, 5, 2, 16, 8
+    N = B * K
+    rng = np.random.RandomState(0)
+    q = rng.randn(N, H, D).astype(np.float32)
+    kn = rng.randn(N, H, D).astype(np.float32)
+    vn = rng.randn(N, H, D).astype(np.float32)
+    t = 6
+    # valid history at positions < t, zeros at >= t (cache invariant)
+    kc = np.zeros((N, H, L, D), np.float32)
+    vc = np.zeros((N, H, L, D), np.float32)
+    kc[:, :, :t, :] = rng.randn(N, H, t, D)
+    vc[:, :, :t, :] = rng.randn(N, H, t, D)
+    prev_k = rng.randint(0, K, (N,)).astype(np.int32)
+    scale = 1.0 / np.sqrt(D)
+
+    ctx, ko, vo = beam_decode_self_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(prev_k),
+        jnp.asarray(t, jnp.int32), K, scale=float(scale), interpret=True,
+    )
+
+    # oracle: grouped row gather, position-t update, masked attention
+    src = (np.arange(N) // K) * K + prev_k
+    ko_ref = kc[src].copy()
+    vo_ref = vc[src].copy()
+    ko_ref[:, :, t, :] = kn
+    vo_ref[:, :, t, :] = vn
+    scores = np.einsum("nhd,nhld->nhl", q, ko_ref) * scale
+    scores = np.where(np.arange(L)[None, None, :] <= t, scores, -1e9)
+    scores = scores - scores.max(-1, keepdims=True)
+    probs = np.exp(scores)
+    probs /= probs.sum(-1, keepdims=True)
+    ctx_ref = np.einsum("nhl,nhld->nhd", probs, vo_ref)
+
+    np.testing.assert_allclose(np.asarray(ko), ko_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vo), vo_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ctx), ctx_ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("beam,max_len", [(1, 12), (5, 12), (3, 40)])
+def test_fast_beam_fused_decode_matches_full_beam(setup, monkeypatch, beam, max_len):
+    """UNIVL_TPU_FUSED_DECODE (deferred-permutation fused decode attention)
+    must produce the full-prefix beam's hypotheses: same tokens, scores to
+    f32 tolerance. (3, 40) crosses the 32->40 bucket boundary with a
+    PENDING permutation, pinning that cache growth pads the L axis without
+    disturbing the deferred row permutation."""
+    cfg, model, params, batch, seq, vis, _, _ = setup
+    monkeypatch.setenv("UNIVL_TPU_FUSED_DECODE", "interpret")
+    slow = make_beam_decode_fn(model, beam, max_len, bos_id=2, eos_id=3)
+    fast = make_fast_beam_decode_fn(model, beam, max_len, bos_id=2, eos_id=3)
+    t1, s1 = slow(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)

@@ -260,6 +260,70 @@ def check_dense_block_dropout(rate: float = 0.5) -> str:
     return "PASS"
 
 
+def check_fused_decode_attention() -> str:
+    """Compiled fused decode attention (kernels/decode_attention.py) ==
+    the reorder-update-attend jnp oracle, on hardware.
+
+    Guards the same donated-buffer load-before-store hazard as the reorder
+    check (the in/out cache blocks share one VMEM buffer; all K source
+    rows must be read before the first store), which interpret mode cannot
+    exercise, plus the f32 softmax/accumulation tolerance of the real
+    Mosaic lowering at the production shapes (bucket 64, bf16 cache).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from univl_tpu.kernels.decode_attention import beam_decode_self_attention
+
+    B, K, H, L, D = 16, 5, 12, 64, 64
+    N = B * K
+    t = 37
+    rng = np.random.RandomState(0)
+    q = rng.randn(N, H, D).astype(np.float32)
+    kn = rng.randn(N, H, D).astype(np.float32)
+    vn = rng.randn(N, H, D).astype(np.float32)
+    kc = np.zeros((N, H, L, D), np.float32)
+    vc = np.zeros((N, H, L, D), np.float32)
+    kc[:, :, :t, :] = rng.randn(N, H, t, D)
+    vc[:, :, :t, :] = rng.randn(N, H, t, D)
+    prev_k = np.stack([rng.permutation(K) for _ in range(B)]).reshape(N)
+    scale = 1.0 / np.sqrt(D)
+    dt = jnp.bfloat16
+
+    ctx, ko, vo = jax.jit(
+        lambda *a: beam_decode_self_attention(*a, K, scale=float(scale)),
+        static_argnums=(),
+    )(
+        jnp.asarray(q, dt), jnp.asarray(kn, dt), jnp.asarray(vn, dt),
+        jnp.asarray(kc, dt), jnp.asarray(vc, dt),
+        jnp.asarray(prev_k, jnp.int32), jnp.asarray(t, jnp.int32),
+    )
+
+    src = (np.arange(N) // K) * K + prev_k
+    bf = lambda x: np.asarray(jnp.asarray(x, dt), np.float32)  # noqa: E731
+    ko_ref = bf(kc)[src]
+    vo_ref = bf(vc)[src]
+    ko_ref[:, :, t, :] = bf(kn)
+    vo_ref[:, :, t, :] = bf(vn)
+    scores = np.einsum("nhd,nhld->nhl", bf(q), ko_ref) * scale
+    scores = np.where(np.arange(L)[None, None, :] <= t, scores, -1e9)
+    scores -= scores.max(-1, keepdims=True)
+    probs = np.exp(scores)
+    probs /= probs.sum(-1, keepdims=True)
+    ctx_ref = np.einsum("nhl,nhld->nhd", bf(probs.astype(np.float32)), vo_ref)
+
+    # permuted+updated caches must be BITWISE right (pure data movement)
+    if not (np.asarray(ko, np.float32) == ko_ref).all():
+        return "FAIL: fused kernel k-cache != permuted/updated oracle"
+    if not (np.asarray(vo, np.float32) == vo_ref).all():
+        return "FAIL: fused kernel v-cache != permuted/updated oracle"
+    # attention context to bf16-input tolerance
+    err = np.max(np.abs(np.asarray(ctx, np.float32) - ctx_ref))
+    if err > 0.05:
+        return f"FAIL: fused ctx max err {err:.3e} vs bf16 oracle"
+    return f"PASS (ctx max err {err:.1e})"
+
+
 def main() -> int:
     import jax
 
@@ -270,6 +334,7 @@ def main() -> int:
     rc = 0
     for name, fn in (
         ("beam_reorder_groups_inplace bit-identity", check_beam_reorder),
+        ("fused decode attention vs oracle", check_fused_decode_attention),
         ("train_attention in-kernel dropout", check_train_attention_dropout),
         ("ffn_block in-kernel dropout", check_ffn_block_dropout),
         ("dense_block in-kernel dropout", check_dense_block_dropout),

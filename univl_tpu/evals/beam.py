@@ -137,6 +137,18 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
     _use_reorder_kernel = jax.default_backend() == "tpu" and not os.environ.get(
         "UNIVL_TPU_NO_REORDER_KERNEL"
     )
+    # Opt-in fused decode attention (kernels/decode_attention.py): the
+    # pending beam permutation + position-t cache update + QK^T/softmax/AV
+    # run in ONE pass over the KV cache instead of the ~3 passes of
+    # reorder-kernel + XLA attention. "1" = real kernel (TPU),
+    # "interpret" = Pallas interpret mode (CPU parity tests). Numerics
+    # match the default path to f32 tolerance, not bitwise (docstring
+    # there), so this is not the default.
+    _fused_decode_env = os.environ.get("UNIVL_TPU_FUSED_DECODE", "")
+    _fused_interpret = _fused_decode_env == "interpret"
+    _use_fused_decode = bool(_fused_decode_env) and (
+        _fused_interpret or jax.default_backend() == "tpu"
+    )
 
     def decode(params, sequence_output, visual_output, attention_mask, video_mask):
         B = sequence_output.shape[0]
@@ -164,9 +176,19 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
         done0 = jnp.zeros((B,), bool)
 
         def step(carry, t):
-            seqs, scores, done, cache = carry
+            seqs, scores, done, cache, perm = carry
             tok = seqs[:, :, t - 1].reshape(B * K)
-            logits, new_cache = fd.step(tok, t - 1, cache, enc_kv, enc_bias)
+            if _use_fused_decode:
+                # Deferred permutation: `perm` is LAST step's beam
+                # reordering, applied here during the fused attention's
+                # single cache pass (read permuted + write position t-1 +
+                # attend), so no separate reorder pass runs at all.
+                logits, new_cache = fd.step_fused(
+                    tok, t - 1, cache, enc_kv, enc_bias,
+                    perm.reshape(B * K), K, interpret=_fused_interpret,
+                )
+            else:
+                logits, new_cache = fd.step(tok, t - 1, cache, enc_kv, enc_bias)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             logp = logp.reshape(B, K, V)
 
@@ -186,7 +208,10 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
             prev_k_eff = jnp.where(
                 done[:, None], jnp.arange(K)[None, :], prev_k
             )
-            if _use_reorder_kernel:
+            if _use_fused_decode:
+                cache = new_cache
+                perm = prev_k_eff  # applied inside NEXT step's fused pass
+            elif _use_reorder_kernel:
                 # Pallas grouped IN-PLACE permute (donated buffers): every
                 # cache byte moves once in its native layout AND the while
                 # carry keeps a stable buffer per array, so XLA inserts no
@@ -205,12 +230,12 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
                     (out[2 * i], out[2 * i + 1]) for i in range(len(new_cache))
                 )
             else:
-                perm = jax.nn.one_hot(prev_k_eff, K, dtype=cache_dtype)  # [B,Kn,Ko]
+                perm_oh = jax.nn.one_hot(prev_k_eff, K, dtype=cache_dtype)  # [B,Kn,Ko]
 
                 def reorder(c):
                     cb = c.reshape(B, K, -1)
                     cb = jnp.einsum(
-                        "bnk,bkf->bnf", perm, cb.astype(cache_dtype)
+                        "bnk,bkf->bnf", perm_oh, cb.astype(cache_dtype)
                     )
                     return cb.reshape(c.shape)
 
@@ -220,7 +245,7 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
             seqs = jnp.where(d3, seqs, new_seqs)
             scores = jnp.where(done[:, None], scores, top_scores)
             done = done | (next_y[:, 0] == eos_id)
-            return seqs, scores, done, cache
+            return seqs, scores, done, cache, perm
 
         # Early exit when every instance's top beam has emitted EOS — the
         # reference stops its Python loop the same way
@@ -230,12 +255,16 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
         # one while_loop per bucket, cache zero-padded between buckets, so
         # short captions never pay max_len-sized cache traffic.
         def body(carry):
-            t, seqs, scores, done, cache = carry
-            seqs, scores, done, cache = step((seqs, scores, done, cache), t)
-            return (t + 1, seqs, scores, done, cache)
+            t, seqs, scores, done, cache, perm = carry
+            seqs, scores, done, cache, perm = step(
+                (seqs, scores, done, cache, perm), t
+            )
+            return (t + 1, seqs, scores, done, cache, perm)
 
         t = jnp.asarray(1, jnp.int32)
         seqs, scores, done, cache = seqs0, scores0, done0, cache0
+        # pending beam permutation (fused path only): identity at start
+        perm = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
         for b_i, bound in enumerate(buckets):
             if b_i > 0:
                 grow = bound - buckets[b_i - 1]
@@ -245,11 +274,12 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
                 )
 
             def cond(carry, _bound=bound):
-                t, seqs, scores, done, cache = carry
+                t = carry[0]
+                done = carry[3]
                 return (t < _bound) & ~jnp.all(done)
 
-            t, seqs, scores, done, cache = jax.lax.while_loop(
-                cond, body, (t, seqs, scores, done, cache)
+            t, seqs, scores, done, cache, perm = jax.lax.while_loop(
+                cond, body, (t, seqs, scores, done, cache, perm)
             )
         return seqs[:, 0, 1:], scores[:, 0]
 

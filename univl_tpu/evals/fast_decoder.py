@@ -16,6 +16,8 @@ tests/test_fast_decoder.py.
 
 from __future__ import annotations
 
+import math
+
 from typing import Dict, Tuple
 
 import jax
@@ -96,6 +98,59 @@ class FastDecoder:
         )
 
     # ---------------------------------------------------------------- #
+    def _embed(self, tok, t):
+        x = self.word_embed[tok] + self.pos_embed[t]
+        return _ln(x[:, None, :], self.p["embed_ln"])  # [B, 1, H]
+
+    def _layer_tail(self, ctx, x, lp, enc_kv_i, enc_bias, scale, B):
+        """Everything after the self-attention context: self-attn output
+        projection + LN, encoder attention, FFN. Shared verbatim between
+        the XLA step() and the fused-kernel step_fused() paths."""
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, -1)
+        slf_out = _ln(
+            _dense(ctx, lp["self_attn_output"]["dense"]) + x,
+            lp["self_attn_output"]["ln"],
+        )
+
+        enc = lp["enc_attn"]
+        ek, ev = enc_kv_i
+        q2 = self._split(_dense(slf_out, enc["query"]))
+        scores2 = (
+            jnp.einsum(
+                "bhqd,bhkd->bhqk", q2, ek,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        scores2 = scores2 + enc_bias.astype(jnp.float32)
+        probs2 = jax.nn.softmax(scores2, axis=-1).astype(x.dtype)
+        ctx2 = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs2, ev,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        ctx2 = ctx2.transpose(0, 2, 1, 3).reshape(B, 1, -1)
+        enc_out = _ln(
+            _dense(ctx2, lp["enc_attn_output"]["dense"]) + slf_out,
+            lp["enc_attn_output"]["ln"],
+        )
+
+        inter = _gelu(_dense(enc_out, lp["intermediate"]))
+        return _ln(
+            _dense(inter, lp["output"]["dense"]) + enc_out,
+            lp["output"]["ln"],
+        )
+
+    def _classify(self, x):
+        ct = self.p["classifier_transform"]
+        h = _ln(_gelu(_dense(x, ct["dense"])), ct["ln"])  # [B, 1, H]
+        return (
+            jnp.einsum(
+                "bqh,vh->bqv", h, self.word_embed.astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + self.p["classifier_bias"]
+        )[:, 0, :]
+
     def step(
         self,
         tok: jax.Array,  # [B] int32 token at position t
@@ -110,8 +165,7 @@ class FastDecoder:
         B = tok.shape[0]
         Lmax = cache[0][0].shape[2]
 
-        x = self.word_embed[tok] + self.pos_embed[t]
-        x = _ln(x[:, None, :], self.p["embed_ln"])  # [B, 1, H]
+        x = self._embed(tok, t)
 
         pos_mask = (
             jnp.arange(Lmax)[None, None, None, :] <= t
@@ -146,41 +200,51 @@ class FastDecoder:
                 "bhqk,bhkd->bhqd", probs, cv.astype(x.dtype),
                 preferred_element_type=jnp.float32,
             ).astype(x.dtype)
-            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, -1)
-            slf_out = _ln(
-                _dense(ctx, lp["self_attn_output"]["dense"]) + x,
-                lp["self_attn_output"]["ln"],
+            x = self._layer_tail(ctx, x, lp, enc_kv[i], enc_bias, scale, B)
+
+        return self._classify(x), tuple(new_cache)
+
+    def step_fused(
+        self,
+        tok: jax.Array,  # [B] int32 token at position t (NEW beam order)
+        t: jax.Array,  # scalar position
+        cache: DecodeCache,  # per-layer (k, v) in PREVIOUS beam order
+        enc_kv: DecodeCache,
+        enc_bias: jax.Array,
+        perm: jax.Array,  # [B] int32 LOCAL source row within each group
+        group: int,  # beam width K
+        interpret: bool = False,
+    ) -> Tuple[jax.Array, DecodeCache]:
+        """step() with the pending beam permutation fused into the
+        self-attention cache pass (kernels/decode_attention.py): the cache
+        arrives one permutation behind and leaves reordered + updated.
+        Numerics match step()+reorder to f32-tolerance (reduction-order
+        differences only); opt-in via UNIVL_TPU_FUSED_DECODE."""
+        from univl_tpu.kernels.decode_attention import beam_decode_self_attention
+
+        scale = 1.0 / math.sqrt(self.head_dim)
+        B = tok.shape[0]
+
+        x = self._embed(tok, t)
+
+        new_cache = []
+        for i in range(self.n_layers):
+            lp = self.p[f"layer_{i}"]
+            slf = lp["self_attn"]
+            q = _dense(x, slf["query"])[:, 0].reshape(B, self.heads, self.head_dim)
+            k_t = _dense(x, slf["key"])[:, 0].reshape(B, self.heads, self.head_dim)
+            v_t = _dense(x, slf["value"])[:, 0].reshape(B, self.heads, self.head_dim)
+            ck, cv = cache[i]
+            ctx, ck, cv = beam_decode_self_attention(
+                q, k_t, v_t, ck, cv, perm, t, group,
+                scale=scale, interpret=interpret,
+            )
+            new_cache.append((ck, cv))
+            x = self._layer_tail(
+                ctx[:, :, None, :], x, lp, enc_kv[i], enc_bias, scale, B
             )
 
-            enc = lp["enc_attn"]
-            ek, ev = enc_kv[i]
-            q2 = self._split(_dense(slf_out, enc["query"]))
-            scores2 = (
-                jnp.einsum(
-                    "bhqd,bhkd->bhqk", q2, ek,
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-            )
-            scores2 = scores2 + enc_bias.astype(jnp.float32)
-            probs2 = jax.nn.softmax(scores2, axis=-1).astype(x.dtype)
-            ctx2 = jnp.einsum(
-                "bhqk,bhkd->bhqd", probs2, ev,
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
-            ctx2 = ctx2.transpose(0, 2, 1, 3).reshape(B, 1, -1)
-            enc_out = _ln(
-                _dense(ctx2, lp["enc_attn_output"]["dense"]) + slf_out,
-                lp["enc_attn_output"]["ln"],
-            )
-
-            inter = _gelu(_dense(enc_out, lp["intermediate"]))
-            x = _ln(
-                _dense(inter, lp["output"]["dense"]) + enc_out,
-                lp["output"]["ln"],
-            )
-
-        ct = self.p["classifier_transform"]
+        return self._classify(x), tuple(new_cache)
         h = _ln(_gelu(_dense(x, ct["dense"])), ct["ln"])  # [B, 1, H]
         logits = (
             jnp.einsum(

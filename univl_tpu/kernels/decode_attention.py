@@ -1,0 +1,169 @@
+"""Fused beam-decode self-attention for TPU (Pallas).
+
+One kernel per decoder layer per beam step that does, in a SINGLE pass
+over the KV cache:
+
+  1. the pending beam permutation (rows permute within their instance's
+     K-row group, exactly like kernels/reorder.py),
+  2. the position-``t`` cache update with the step's new K/V rows,
+  3. the attention read: QK^T, masked softmax, AV.
+
+The unfused decode step (evals/fast_decoder.py:step + the grouped reorder
+kernel) moves each cache byte ~3x per step: the reorder reads + writes the
+whole cache and the attention einsums read it again (docs/PERF.md decode
+profile: reorder 48.7 ms + attention reads ~35 ms + cache updates 12.4 ms
+of a 163 ms full-length batch-16 decode). Fusing all three makes it
+exactly one read + one write per byte.
+
+The permutation is DEFERRED by one step to make the fusion possible: the
+beam driver (evals/beam.py) computes the step-t permutation from step-t
+logits, but instead of permuting the cache immediately it carries the
+permutation and this kernel applies it during step t+1's attention read.
+The cache in HBM is therefore always one permutation behind; logical row
+``r`` lives at physical row ``perm[r]`` (within its group) until the next
+step rewrites it. Reference behavior being fused: collate_active_info
+(main_task_caption.py:400-432) + Transformer-decoder self-attention over
+the running prefix (modules/module_decoder.py:284-340).
+
+Numerics match evals/fast_decoder.py:step: scores and softmax in f32,
+-1e9 additive mask on positions > t (exact zeros after softmax), probs
+cast to the cache dtype before the AV contraction with f32 accumulation.
+The reduction ORDER differs from the XLA einsums (split q-dot / AV
+element-wise reductions), so the fused path is opt-in
+(UNIVL_TPU_FUSED_DECODE) and parity is pinned to tolerance, not bitwise
+(tests/test_fast_decoder.py, tools/tpu_checks.py on-chip).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def beam_decode_self_attention(
+    q: jax.Array,        # [N, H, D] step queries (new beam order)
+    k_new: jax.Array,    # [N, H, D] step keys (new beam order)
+    v_new: jax.Array,    # [N, H, D] step values (new beam order)
+    k_cache: jax.Array,  # [N, H, L, D] physical rows in PREVIOUS beam order
+    v_cache: jax.Array,  # [N, H, L, D]
+    prev_k: jax.Array,   # [N] int32 LOCAL source row within each K-group
+    t: jax.Array,        # scalar int32: position being decoded
+    group: int,          # beam width K (rows [g*K, (g+1)*K) share a group)
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (ctx [N, H, D], new_k_cache, new_v_cache).
+
+    The returned caches are in the NEW beam order with position ``t``
+    written, i.e. reorder-then-update-then-attend exactly like the unfused
+    step; the cache buffers are donated (input_output_aliases) so the
+    while-loop carry keeps one stable buffer per array.
+
+    Positions > t of every source row are zero by construction (caches
+    init to zero, each position is written exactly once, bucket growth
+    pads with zeros); the -1e9 mask makes their probs exactly 0.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, l_max, d = k_cache.shape
+    assert n % group == 0, (n, group)
+    assert q.shape == (n, h, d), (q.shape, (n, h, d))
+    dtype = k_cache.dtype
+
+    def kern(idx_ref, t_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
+             ctx_ref, ko_ref, vo_ref):
+        g = pl.program_id(0)
+        tt = t_ref[0]
+        # Mosaic layout rules: no rank-changing reshapes on non-32-bit
+        # vectors, so every value stays rank-4 ([1, H, L|1, D]) and the
+        # masks are built by iotas at their TARGET ranks. The only minor-
+        # dim insertion below is on f32 probs, which IS supported.
+        at_t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, l_max, 1), 2) == tt
+        le_t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, l_max), 2) <= tt
+
+        # Donated buffers: the in/out cache blocks share VMEM, so EVERY
+        # source row must be loaded into values before the first store
+        # (same hazard + discipline as kernels/reorder.py; guarded on-chip
+        # by tools/tpu_checks.py).
+        ks = [kc_ref[pl.ds(idx_ref[g * group + kk], 1)] for kk in range(group)]
+        vs = [vc_ref[pl.ds(idx_ref[g * group + kk], 1)] for kk in range(group)]
+
+        for kk in range(group):
+            # fold the step-t K/V rows ([1, H, 1, D]) into the slabs
+            k_slab = jnp.where(at_t, kn_ref[pl.ds(kk, 1)], ks[kk])
+            v_slab = jnp.where(at_t, vn_ref[pl.ds(kk, 1)], vs[kk])
+
+            qf = q_ref[pl.ds(kk, 1)].astype(jnp.float32)   # [1, H, 1, D]
+            scores = jnp.sum(
+                qf * k_slab.astype(jnp.float32), axis=-1
+            ) * scale                                      # [1, H, L] f32
+            scores = jnp.where(le_t, scores, -1e9)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = probs.astype(dtype).astype(jnp.float32)
+            ctx = jnp.sum(
+                probs[:, :, :, None] * v_slab.astype(jnp.float32),
+                axis=2,
+            )                                              # [1, H, D] f32
+            ctx_ref[pl.ds(kk, 1)] = ctx.astype(dtype)
+            ko_ref[pl.ds(kk, 1)] = k_slab.astype(dtype)
+            vo_ref[pl.ds(kk, 1)] = v_slab.astype(dtype)
+
+    def row_spec(last_dims):
+        nd = len(last_dims)
+        return pl.BlockSpec(
+            (group,) + last_dims,
+            lambda i, idx_ref, t_ref, _nd=nd: (i,) + (0,) * _nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n // group,),
+        in_specs=[
+            row_spec((h, 1, d)),       # q
+            row_spec((h, 1, d)),       # k_new
+            row_spec((h, 1, d)),       # v_new
+            row_spec((h, l_max, d)),   # k_cache
+            row_spec((h, l_max, d)),   # v_cache
+        ],
+        out_specs=(
+            row_spec((h, d)),          # ctx
+            row_spec((h, l_max, d)),   # new k_cache
+            row_spec((h, l_max, d)),   # new v_cache
+        ),
+    )
+    cache_bytes = k_cache.size * k_cache.dtype.itemsize
+    ctx, ko, vo = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h, d), dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, dtype),
+        ),
+        # operands (after the 2 scalar-prefetch args): q=2 kn=3 vn=4
+        # kc=5 vc=6; donate the caches into outputs 1 and 2.
+        input_output_aliases={5: 1, 6: 2},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * h * l_max * d,
+            bytes_accessed=4 * cache_bytes,
+            transcendentals=n * h * l_max,
+        ),
+    )(
+        prev_k.astype(jnp.int32),
+        jnp.asarray(t, jnp.int32).reshape(1),
+        q.astype(dtype).reshape(n, h, 1, d),
+        k_new.astype(dtype).reshape(n, h, 1, d),
+        v_new.astype(dtype).reshape(n, h, 1, d),
+        k_cache,
+        v_cache,
+    )
+    return ctx, ko, vo
