@@ -1,16 +1,23 @@
 """On-chip verify: UNIVL_TPU_FUSED_DECODE fused decode-attention kernel.
 
-A/B of the default fast beam decoder (grouped Pallas reorder + XLA
-attention) vs the fused deferred-permutation kernel
-(kernels/decode_attention.py) at the YouCook2 caption eval config
-(B=16, beam 5, 3-layer decoder):
+Two legs, at the YouCook2 caption eval config (B=16, beam 5, 3-layer
+decoder, bf16 compute):
 
-  1. parity: same hypotheses tokens (near-tie top-k flips reported, not
-     failed — the two paths differ in reduction order, docs/PERF.md notes
-     the same caveat for the default kernel path) + scores allclose
-  2. throughput at the no-EOS ceiling (max_words=128, all buckets)
-  3. throughput at the bucket-32 floor (max_words=32 — the regime real
-     ~20-30-step captions run in)
+  1. PARITY (the pass/fail criterion): teacher-forced trajectory — drive
+     FastDecoder.step()+reorder and FastDecoder.step_fused() with the SAME
+     forced tokens and the SAME forced beam permutations for a full
+     63-step trajectory, comparing per-step log-probs. This checks the
+     deferred-permutation semantics + kernel numerics over a long rollout
+     while excluding beam-search tie chaos: a FREE-RUNNING A/B on random
+     weights produces near-uniform logits whose top-k flips at bf16
+     reduction-order differences and then diverges irrecoverably —
+     hypothesis mismatch there measures argmax sensitivity, not kernel
+     correctness (the bitwise cache-movement check lives in
+     tools/tpu_checks.py).
+  2. THROUGHPUT: free-running decode A/B at the no-EOS ceiling
+     (max_words=128, all buckets) and the bucket-32 floor (max_words=32 —
+     the regime real ~20-30-step captions exit in). Token mismatches are
+     reported for visibility, not gated.
 
 Timing: chained decodes + ONE host fetch (axon does not sync on
 block_until_ready). Exits 1 on parity failure.
@@ -86,6 +93,79 @@ def timed(decode, args, n, B):
     return np.asarray(seqs), s, dt
 
 
+def teacher_forced_parity(model, params, batch, seq_out, vis_out,
+                          B=16, K=5, T=64):
+    """Max per-step |log-prob diff| between the unfused step()+one-hot
+    reorder chain and step_fused()'s deferred-permutation pass, with
+    identical forced tokens/permutations (no beam chaos). Runs both paths
+    inside ONE jitted scan and fetches only the [T-1] diff vector."""
+    from univl_tpu.evals.fast_decoder import FastDecoder
+    from univl_tpu.models.univl import UniVL
+
+    cross_out, _, concat_mask = jax.jit(
+        lambda p, so, vo, am, vm: model.apply(
+            p, so, vo, am, vm, method=UniVL.get_cross_output
+        )
+    )(params, seq_out, vis_out, batch["attention_mask"], batch["video_mask"])
+
+    cache_dtype = jnp.dtype(model.cfg.compute_dtype)
+    fd = FastDecoder(model.cfg.decoder, params["params"])
+    cross_rep = jnp.repeat(cross_out, K, axis=0).astype(cache_dtype)
+    mask_rep = jnp.repeat(concat_mask, K, axis=0)
+    enc_bias = ((1.0 - mask_rep.astype(jnp.float32)) * -10000.0)[:, None, None, :]
+    enc_kv = fd.precompute_enc_kv(cross_rep)
+
+    rng = np.random.RandomState(7)
+    toks = jnp.asarray(rng.randint(1, 30000, (T, B * K)), jnp.int32)
+    perms = jnp.asarray(
+        np.stack([
+            np.stack([rng.permutation(K) for _ in range(B)]) for _ in range(T)
+        ]),
+        jnp.int32,
+    )  # [T, B, K] local source rows, applied AFTER each step
+
+    def run(toks, perms):
+        cache_u = fd.init_cache(B * K, T, dtype=cache_dtype)
+        cache_f = fd.init_cache(B * K, T, dtype=cache_dtype)
+        perm0 = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
+
+        def body(carry, inp):
+            cache_u, cache_f, perm_prev = carry
+            t, tok, perm_t = inp
+            lu, cache_u = fd.step(tok, t, cache_u, enc_kv, enc_bias)
+            # unfused path applies this step's permutation immediately
+            perm_oh = jax.nn.one_hot(perm_t, K, dtype=cache_dtype)
+
+            def reorder(c):
+                cb = c.reshape(B, K, -1)
+                return jnp.einsum("bnk,bkf->bnf", perm_oh, cb).reshape(c.shape)
+
+            cache_u = jax.tree.map(reorder, cache_u)
+            # fused path applies LAST step's permutation inside this pass
+            lf, cache_f = fd.step_fused(
+                tok, t, cache_f, enc_kv, enc_bias, perm_prev.reshape(B * K), K
+            )
+            d = jnp.max(jnp.abs(
+                jax.nn.log_softmax(lu.astype(jnp.float32), axis=-1)
+                - jax.nn.log_softmax(lf.astype(jnp.float32), axis=-1)
+            ))
+            return (cache_u, cache_f, perm_t), d
+
+        _, diffs = jax.lax.scan(
+            body, (cache_u, cache_f, perm0),
+            (jnp.arange(T, dtype=jnp.int32), toks, perms),
+        )
+        return diffs
+
+    diffs = np.asarray(jax.jit(run)(toks, perms))
+    # step 0 compares identically-ordered caches; the deferred perm first
+    # bites at step 1. Report the trajectory max.
+    print(f"[teacher-forced parity] T={T} steps, max |logp diff| "
+          f"{diffs.max():.3e} (median {np.median(diffs):.1e}, "
+          f"final step {diffs[-1]:.1e})", flush=True)
+    return float(diffs.max())
+
+
 def main():
     n_timed = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     if jax.default_backend() == "tpu":
@@ -97,8 +177,13 @@ def main():
     model, params, batch, seq_out, vis_out = build(B)
     args = (params, seq_out, vis_out, batch["attention_mask"], batch["video_mask"])
 
-    ok = True
-    results = {}
+    max_diff = teacher_forced_parity(model, params, batch, seq_out, vis_out,
+                                     B=B, K=K)
+    # bf16 compute through a 3-layer stack: reduction-order differences
+    # show up at ~1e-2 log-prob scale; a semantic bug (wrong row permuted,
+    # off-by-one position, stale cache) produces O(1) divergence.
+    ok = max_diff < 0.15
+    results = {"teacher_forced_max_logp_diff": max_diff}
     for name, max_len in (("ceiling(max128, no-EOS)", 128), ("floor(max32, no-EOS)", 32)):
         os.environ.pop("UNIVL_TPU_FUSED_DECODE", None)
         base = make_fast_beam_decode_fn(model, K, max_len, bos_id=101, eos_id=-1)
@@ -116,10 +201,9 @@ def main():
         print(f"[{name}] speedup {dt1 / dt2:.2f}x; token mismatches "
               f"{mism}/{t1.size}; max |score diff| {sdiff:.2e}", flush=True)
         results[name] = (dt1, dt2, mism, sdiff)
-        # near-tie top-k flips cascade into different (equally-scored)
-        # hypotheses; require scores to stay close and mismatches rare
-        if sdiff > 5e-2 or mism > 0.05 * t1.size:
-            ok = False
+        # informational only — free-running mismatch measures near-tie
+        # argmax sensitivity on random weights, not kernel correctness
+        # (see module docstring); correctness is the teacher-forced leg.
 
     print("VERIFY", "PASS" if ok else "FAIL", results, flush=True)
     sys.exit(0 if ok else 1)

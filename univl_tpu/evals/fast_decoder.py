@@ -245,12 +245,3 @@ class FastDecoder:
             )
 
         return self._classify(x), tuple(new_cache)
-        h = _ln(_gelu(_dense(x, ct["dense"])), ct["ln"])  # [B, 1, H]
-        logits = (
-            jnp.einsum(
-                "bqh,vh->bqv", h, self.word_embed.astype(h.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            + self.p["classifier_bias"]
-        )
-        return logits[:, 0, :], tuple(new_cache)
