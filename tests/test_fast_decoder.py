@@ -1,5 +1,7 @@
 """KV-cache incremental decoder parity vs the full-prefix flax decoder."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -202,6 +204,21 @@ def test_fast_beam_fused_decode_matches_full_beam(setup, monkeypatch, beam, max_
     monkeypatch.setenv("UNIVL_TPU_FUSED_DECODE", "interpret")
     slow = make_beam_decode_fn(model, beam, max_len, bos_id=2, eos_id=3)
     fast = make_fast_beam_decode_fn(model, beam, max_len, bos_id=2, eos_id=3)
+    t1, s1 = slow(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_decode_explicit_arg_matches_full_beam(setup):
+    """The --fused_decode CLI path (fused_decode=True, no env var): off-TPU
+    it must run the kernel in interpret mode and still match the full-prefix
+    beam, so the flag behaves identically everywhere."""
+    cfg, model, params, batch, seq, vis, _, _ = setup
+    assert "UNIVL_TPU_FUSED_DECODE" not in os.environ
+    slow = make_beam_decode_fn(model, 3, 12, bos_id=2, eos_id=3)
+    fast = make_fast_beam_decode_fn(model, 3, 12, bos_id=2, eos_id=3,
+                                    fused_decode=True)
     t1, s1 = slow(params, seq, vis, batch["attention_mask"], batch["video_mask"])
     t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

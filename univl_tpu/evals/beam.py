@@ -126,10 +126,21 @@ def _cache_buckets(max_len: int, first: int = 32):
 
 
 def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
-                             bos_id: int, eos_id: int, pad_id: int = 0):
+                             bos_id: int, eos_id: int, pad_id: int = 0,
+                             fused_decode: bool | None = None):
     """KV-cached beam search: O(L) decoder work per hypothesis instead of the
     full-prefix O(L^2) (see univl_tpu/evals/fast_decoder.py). Produces the
-    same hypotheses as make_beam_decode_fn (parity-tested)."""
+    same hypotheses as make_beam_decode_fn (parity-tested).
+
+    ``fused_decode``: opt-in fused decode attention
+    (kernels/decode_attention.py) — the pending beam permutation +
+    position-t cache update + QK^T/softmax/AV run in ONE pass over the KV
+    cache instead of the ~3 passes of reorder-kernel + XLA attention
+    (decode ceiling 1.26x, docs/PERF.md). Numerics match the default path
+    to f32 tolerance, not bitwise (reduction order), so it is not the
+    default. None (default) defers to the UNIVL_TPU_FUSED_DECODE env var
+    (any non-empty value enables it). Off-TPU the kernel runs in Pallas
+    interpret mode, so the option behaves identically everywhere."""
     from univl_tpu.evals.fast_decoder import FastDecoder
 
     K = beam_size
@@ -137,18 +148,13 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
     _use_reorder_kernel = jax.default_backend() == "tpu" and not os.environ.get(
         "UNIVL_TPU_NO_REORDER_KERNEL"
     )
-    # Opt-in fused decode attention (kernels/decode_attention.py): the
-    # pending beam permutation + position-t cache update + QK^T/softmax/AV
-    # run in ONE pass over the KV cache instead of the ~3 passes of
-    # reorder-kernel + XLA attention. "1" = real kernel (TPU),
-    # "interpret" = Pallas interpret mode (CPU parity tests). Numerics
-    # match the default path to f32 tolerance, not bitwise (docstring
-    # there), so this is not the default.
-    _fused_decode_env = os.environ.get("UNIVL_TPU_FUSED_DECODE", "")
-    _fused_interpret = _fused_decode_env == "interpret"
-    _use_fused_decode = bool(_fused_decode_env) and (
-        _fused_interpret or jax.default_backend() == "tpu"
-    )
+    if fused_decode is None:
+        fused_decode = bool(os.environ.get("UNIVL_TPU_FUSED_DECODE", ""))
+    _use_fused_decode = bool(fused_decode)
+    # Off-TPU the real kernel cannot lower; run the Pallas interpreter so an
+    # explicit fused_decode=True (or the env var) behaves identically
+    # everywhere (CPU parity tests rely on this).
+    _fused_interpret = _use_fused_decode and jax.default_backend() != "tpu"
 
     def decode(params, sequence_output, visual_output, attention_mask, video_mask):
         B = sequence_output.shape[0]
@@ -309,10 +315,12 @@ class CaptionGenerator:
 
     def __init__(self, model: UniVL, params, tokenizer, beam_size: int = 5,
                  max_len: int = 48, batch_size: int = 16,
-                 incremental: bool = True, mesh=None):
+                 incremental: bool = True, mesh=None,
+                 fused_decode: bool | None = None):
         """``mesh``: optional 1-D dp Mesh — eval batches are sharded over
         the batch dim so each device decodes its share of the beam batch
-        (the caption-side analogue of the retrieval eval fan-out)."""
+        (the caption-side analogue of the retrieval eval fan-out).
+        ``fused_decode``: see make_fast_beam_decode_fn (incremental only)."""
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
@@ -334,11 +342,12 @@ class CaptionGenerator:
             )
 
         self._encode = encode_fn
+        kw = {"fused_decode": fused_decode} if incremental else {}
         make = make_fast_beam_decode_fn if incremental else make_beam_decode_fn
         self._decode = make(
             model, beam_size, max_len,
             bos_id=tokenizer.bos_id, eos_id=tokenizer.eos_id,
-            pad_id=tokenizer.pad_id,
+            pad_id=tokenizer.pad_id, **kw,
         )
 
     def generate(self, batch: Dict[str, np.ndarray]):

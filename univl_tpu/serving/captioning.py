@@ -31,6 +31,7 @@ class CaptionService:
         max_len: Optional[int] = None,
         batch_size: int = 16,
         mesh=None,
+        fused_decode: Optional[bool] = None,
     ):
         cfg = model.cfg
         self.tokenizer = tokenizer
@@ -45,6 +46,7 @@ class CaptionService:
             batch_size=batch_size,
             incremental=True,
             mesh=mesh,
+            fused_decode=fused_decode,
         )
 
     def caption(
