@@ -210,12 +210,12 @@ def test_fast_beam_fused_decode_matches_full_beam(setup, monkeypatch, beam, max_
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 
 
-def test_fused_decode_explicit_arg_matches_full_beam(setup):
+def test_fused_decode_explicit_arg_matches_full_beam(setup, monkeypatch):
     """The --fused_decode CLI path (fused_decode=True, no env var): off-TPU
     it must run the kernel in interpret mode and still match the full-prefix
     beam, so the flag behaves identically everywhere."""
     cfg, model, params, batch, seq, vis, _, _ = setup
-    assert "UNIVL_TPU_FUSED_DECODE" not in os.environ
+    monkeypatch.delenv("UNIVL_TPU_FUSED_DECODE", raising=False)
     slow = make_beam_decode_fn(model, 3, 12, bos_id=2, eos_id=3)
     fast = make_fast_beam_decode_fn(model, 3, 12, bos_id=2, eos_id=3,
                                     fused_decode=True)

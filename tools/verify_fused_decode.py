@@ -117,12 +117,18 @@ def teacher_forced_parity(model, params, batch, seq_out, vis_out,
 
     rng = np.random.RandomState(7)
     toks = jnp.asarray(rng.randint(1, 30000, (T, B * K)), jnp.int32)
-    perms = jnp.asarray(
+    # Mix bijective permutations with duplicating gathers (rng.randint):
+    # real beam search routinely selects the same source row for several
+    # beam slots, and the fused kernel's deferred gather must handle that
+    # (a permutation-only trajectory would leave duplicates untested on
+    # the compiled kernel — round-2 ADVICE item).
+    perm_rows = np.stack([
         np.stack([
-            np.stack([rng.permutation(K) for _ in range(B)]) for _ in range(T)
-        ]),
-        jnp.int32,
-    )  # [T, B, K] local source rows, applied AFTER each step
+            rng.permutation(K) if (t + b) % 2 == 0 else rng.randint(0, K, K)
+            for b in range(B)
+        ]) for t in range(T)
+    ])
+    perms = jnp.asarray(perm_rows, jnp.int32)  # [T, B, K] local source rows, applied AFTER each step
 
     def run(toks, perms):
         cache_u = fd.init_cache(B * K, T, dtype=cache_dtype)
@@ -143,7 +149,8 @@ def teacher_forced_parity(model, params, batch, seq_out, vis_out,
             cache_u = jax.tree.map(reorder, cache_u)
             # fused path applies LAST step's permutation inside this pass
             lf, cache_f = fd.step_fused(
-                tok, t, cache_f, enc_kv, enc_bias, perm_prev.reshape(B * K), K
+                tok, t, cache_f, enc_kv, enc_bias, perm_prev.reshape(B * K), K,
+                interpret=(jax.default_backend() != "tpu"),
             )
             d = jnp.max(jnp.abs(
                 jax.nn.log_softmax(lu.astype(jnp.float32), axis=-1)

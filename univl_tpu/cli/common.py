@@ -192,12 +192,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "only at >= 16384 rows; block/auto_block also fold "
                         "dropout+residual+LayerNorm into the kernel "
                         "(dropout bits then use the TPU PRNG) (docs/PERF.md)")
-    p.add_argument("--fused_decode", action="store_true",
+    p.add_argument("--fused_decode", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="beam decode: fuse the pending beam permutation + "
                         "cache update + attention into one Pallas pass over "
                         "the KV cache (decode ceiling 1.26x; numerics match "
                         "the default to f32 tolerance, not bitwise — "
-                        "docs/PERF.md)")
+                        "docs/PERF.md). Unset -> UNIVL_TPU_FUSED_DECODE env "
+                        "decides; --no-fused_decode overrides the env var")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_policy", type=str, default="full",
                    choices=["full", "dots"],

@@ -148,7 +148,7 @@ def build_services(args):
             model, params, tokenizer,
             beam_size=args.beam_size,
             batch_size=args.serve_batch_size,
-            fused_decode=args.fused_decode or None,
+            fused_decode=args.fused_decode,
         )
     return index, caption, cfg
 

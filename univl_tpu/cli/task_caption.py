@@ -79,7 +79,7 @@ def main(argv=None):
         gen = CaptionGenerator(
             model, {"params": p}, tokenizer,
             beam_size=5, max_len=args.max_words, batch_size=eval_bs,
-            fused_decode=args.fused_decode or None,
+            fused_decode=args.fused_decode,
         )
         hyps, refs = [], []
         b = Batcher(test_ds, eval_bs, shuffle=False, drop_last=False)
