@@ -14,10 +14,17 @@ from the published algorithms:
     via nltk), module weights 1.0/0.6, English rank-task parameters
     alpha=.85 beta=.2 gamma=.6 delta=.75, content/function-word weighting,
     chunk-minimizing alignment, corpus-level aggregation of sufficient
-    statistics. WITHOUT the WordNet synonym (w=.8) and paraphrase-table
-    (w=.6) matchers — their data files are unavailable offline — so scores
-    are a LOWER BOUND on Java METEOR (they only add matches). See
-    tests/test_evals.py for hand-computed formula fixtures.
+    statistics. The WordNet-synonym matcher (w=.8) is IMPLEMENTED with a
+    pluggable synonym table (``meteor(..., synonyms=...)``); the WordNet
+    data file itself is unavailable offline, so the default path runs
+    exact+stem only — ``load_wordnet_synonyms()`` plugs the corpus in
+    automatically if it ever appears on disk. The paraphrase-table matcher
+    (w=.6) is absent (data file unavailable). Scores without those tables
+    are a LOWER BOUND on Java METEOR (extra matchers only add matches);
+    the deficit is MEASURED against an exhaustive-alignment oracle on a
+    labeled fixture set in tests/test_meteor_divergence.py and recorded
+    in docs/PARITY.md. See tests/test_evals.py for hand-computed formula
+    fixtures.
 
 Inputs: hyps: list[str]; refs: list[list[str]] (multi-reference per row,
 reference assembles these for MSRVTT at main_task_caption.py:599-607).
@@ -205,33 +212,68 @@ _FUNCTION_WORDS = frozenset(
 
 # METEOR 1.5 English rank-task parameters and matcher weights
 _M15 = dict(alpha=0.85, beta=0.2, gamma=0.6, delta=0.75,
-            w_exact=1.0, w_stem=0.6)
+            w_exact=1.0, w_stem=0.6, w_syn=0.8)
+
+# Synonym table type: word -> set of synset ids (any hashable). Two words
+# synonym-match when their id sets intersect (METEOR's "share a WordNet
+# synset" rule, Denkowski & Lavie 2014 §2.1).
+SynTable = Dict[str, frozenset]
+
+
+def load_wordnet_synonyms() -> "SynTable | None":
+    """Build a synonym table from the nltk WordNet corpus, or None if the
+    corpus data is not on disk (the offline-image case — nltk the *code* is
+    installed but `wordnet` the *data file* is absent; verified round 2).
+    When data is present, meteor() picks this up automatically via
+    compute_caption_metrics, restoring the Java jar's w=.8 synonym stage."""
+    try:
+        from nltk.corpus import wordnet
+
+        table: Dict[str, set] = {}
+        for syn in wordnet.all_synsets():
+            name = syn.name()
+            for lemma in syn.lemma_names():
+                table.setdefault(lemma.lower().replace("_", " "), set()).add(name)
+        return {w: frozenset(s) for w, s in table.items()}
+    except LookupError:  # corpus data absent
+        return None
+    except Exception:  # pragma: no cover - nltk itself missing/broken
+        return None
 
 
 def _word_weight(w: str, delta: float) -> float:
     return (1.0 - delta) if w in _FUNCTION_WORDS else delta
 
 
-def _candidates(h: List[str], r: List[str], stem) -> Dict[tuple, float]:
-    """(i, j) -> matcher weight; a pair matched by both modules counts at
-    the higher-priority (exact) weight, as in the Java aligner."""
+def _candidates(h: List[str], r: List[str], stem,
+                synonyms: "SynTable | None" = None) -> Dict[tuple, float]:
+    """(i, j) -> matcher weight; a pair matched by several modules counts
+    at the FIRST module's weight in METEOR's module order exact > stem >
+    synonym (Java aligner semantics — note stem w=.6 outranks synonym w=.8
+    in priority despite the lower weight)."""
     cand: Dict[tuple, float] = {}
     hs = [stem(w) for w in h]
     rs = [stem(w) for w in r]
+    empty = frozenset()
+    hsyn = [synonyms.get(w, empty) for w in h] if synonyms else None
     for i, hw in enumerate(h):
         for j, rw in enumerate(r):
             if hw == rw:
                 cand[(i, j)] = _M15["w_exact"]
             elif hs[i] == rs[j]:
                 cand[(i, j)] = _M15["w_stem"]
+            elif hsyn is not None and hsyn[i] and not hsyn[i].isdisjoint(
+                    synonyms.get(rw, empty)):
+                cand[(i, j)] = _M15["w_syn"]
     return cand
 
 
-def _align(h: List[str], r: List[str], stem):
+def _align(h: List[str], r: List[str], stem,
+           synonyms: "SynTable | None" = None):
     """Beam search over hyp positions: maximize total matcher weight, then
     minimize chunks (the Java aligner's objective). Returns sorted match
     list [(i, j, w_mod)]."""
-    cand = _candidates(h, r, stem)
+    cand = _candidates(h, r, stem, synonyms)
     by_i: Dict[int, List[tuple]] = {}
     for (i, j), w in cand.items():
         by_i.setdefault(i, []).append((j, w))
@@ -258,9 +300,10 @@ def _align(h: List[str], r: List[str], stem):
     return list(best[4])
 
 
-def _segment_stats(h: List[str], r: List[str], stem, delta: float):
+def _segment_stats(h: List[str], r: List[str], stem, delta: float,
+                   synonyms: "SynTable | None" = None):
     """Sufficient statistics for one (hyp, ref) pair."""
-    matches = _align(h, r, stem)
+    matches = _align(h, r, stem, synonyms)
     wp = sum(w * _word_weight(h[i], delta) for i, j, w in matches)
     wr = sum(w * _word_weight(r[j], delta) for i, j, w in matches)
     lh = sum(_word_weight(w, delta) for w in h)
@@ -293,10 +336,12 @@ def meteor(
     refs: List[List[str]], hyps: List[str],
     alpha: float = _M15["alpha"], beta: float = _M15["beta"],
     gamma: float = _M15["gamma"], delta: float = _M15["delta"],
+    synonyms: "SynTable | None" = None,
 ) -> float:
     """Corpus-level METEOR: per segment pick the best-scoring reference,
     aggregate its sufficient statistics, apply the formula to the totals
-    (the Java scorer's system-level aggregation)."""
+    (the Java scorer's system-level aggregation). ``synonyms`` plugs in the
+    w=.8 WordNet-synonym matcher (see load_wordnet_synonyms)."""
     global _STEM
     if _STEM is None:
         _STEM = _stemmer()
@@ -305,7 +350,7 @@ def meteor(
         h = hyp.lower().split()
         best_s, best_score = None, -1.0
         for ref in refs_i:
-            s = _segment_stats(h, ref.lower().split(), _STEM, delta)
+            s = _segment_stats(h, ref.lower().split(), _STEM, delta, synonyms)
             score = _meteor_from_stats(s, alpha, beta, gamma)
             if score > best_score:
                 best_s, best_score = s, score
@@ -316,6 +361,18 @@ def meteor(
 
 
 # --------------------------------------------------------------------- #
+_WORDNET_SYNONYMS: "SynTable | None | bool" = False  # False = not probed yet
+
+
+def _auto_synonyms() -> "SynTable | None":
+    """Probe the WordNet corpus ONCE per process; None when absent (the
+    offline-image default, where METEOR runs exact+stem)."""
+    global _WORDNET_SYNONYMS
+    if _WORDNET_SYNONYMS is False:
+        _WORDNET_SYNONYMS = load_wordnet_synonyms()
+    return _WORDNET_SYNONYMS
+
+
 def compute_caption_metrics(refs: List[List[str]], hyps: List[str]) -> Dict[str, float]:
     """Full nlg-eval-style metric dict (reference eval prints these,
     main_task_caption.py:613-615)."""
@@ -325,7 +382,7 @@ def compute_caption_metrics(refs: List[List[str]], hyps: List[str]) -> Dict[str,
         "Bleu_2": b[1],
         "Bleu_3": b[2],
         "Bleu_4": b[3],
-        "METEOR": meteor(refs, hyps),
+        "METEOR": meteor(refs, hyps, synonyms=_auto_synonyms()),
         "ROUGE_L": rouge_l(refs, hyps),
         "CIDEr": cider_d(refs, hyps),
     }
