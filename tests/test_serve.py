@@ -99,6 +99,144 @@ def test_serve_endpoints(tmp_path, vocab):
         server.server_close()
 
 
+def test_serve_concurrent_requests(tmp_path, vocab):
+    """N in-flight requests mixing caption/search/add (VERDICT r2 item 5).
+
+    The device lock in make_server serializes device work, but the HTTP
+    layer (ThreadingHTTPServer), the tokenizer, and the Batcher all see
+    genuine concurrency here. Two phases:
+      A. concurrent READS (search/caption/healthz) against a frozen index
+         must each equal the sequential oracle captured beforehand;
+      B. concurrent WRITES (disjoint adds from 4 threads) racing searches
+         and captions must end in exactly the union state — final search
+         results equal a fresh single-threaded server given the same
+         videos, and captions are unaffected by the racing adds.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from univl_tpu.cli.serve import main
+
+    server = main(
+        ["--mode", "both", "--rerank_store_full", "--vocab_file", vocab,
+         "--output_dir", str(tmp_path / "srv"), "--host", "127.0.0.1",
+         "--port", "0", "--serve_batch_size", "4", "--beam_size", "2",
+         "--stage_two"] + TINY,
+        serve_forever=False,
+    )
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    rng = np.random.RandomState(7)
+    base_vids = [rng.randn(rng.randint(3, 10), 32).tolist() for _ in range(4)]
+    extra_vids = [rng.randn(5, 32).tolist() for _ in range(8)]
+    queries = ["mix the batter", "heat the oil", "slice the onion",
+               "pour the sauce"]
+    cap_vids = base_vids[:2]
+    try:
+        code, out = _post(port, "/v1/retrieval/add",
+                          {"videos": base_vids,
+                           "ids": [f"b{i}" for i in range(4)]})
+        assert code == 200 and out["indexed"] == 4
+
+        # sequential oracle for phase A
+        oracle_search = {}
+        for q in queries:
+            code, out = _post(port, "/v1/retrieval/search",
+                              {"queries": [q], "top_k": 4, "rerank": 4})
+            assert code == 200
+            oracle_search[q] = out["results"]
+        code, out = _post(port, "/v1/caption", {"videos": cap_vids})
+        assert code == 200
+        oracle_caps = out["captions"]
+
+        def do_search(q):
+            return ("search", q, _post(port, "/v1/retrieval/search",
+                                       {"queries": [q], "top_k": 4,
+                                        "rerank": 4}))
+
+        def do_caption(_):
+            return ("caption", None, _post(port, "/v1/caption",
+                                           {"videos": cap_vids}))
+
+        def do_health(_):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz") as r:
+                return ("health", None, (r.status, json.loads(r.read())))
+
+        # phase A: 24 concurrent reads
+        jobs = []
+        for i in range(6):
+            jobs += [(do_search, queries[i % 4]), (do_caption, None),
+                     (do_health, None), (do_search, queries[(i + 1) % 4])]
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(lambda fa: fa[0](fa[1]), jobs))
+        for kind, q, (code, out) in results:
+            assert code == 200, (kind, out)
+            if kind == "search":
+                assert out["results"] == oracle_search[q], q
+            elif kind == "caption":
+                assert out["captions"] == oracle_caps
+            else:
+                assert out["status"] == "ok" and out["indexed"] == 4
+
+        # phase B: 4 disjoint adds racing searches + captions
+        def do_add(k):
+            return ("add", k, _post(
+                port, "/v1/retrieval/add",
+                {"videos": extra_vids[2 * k: 2 * k + 2],
+                 "ids": [f"x{2 * k}", f"x{2 * k + 1}"]}))
+
+        jobs = [(do_add, k) for k in range(4)]
+        jobs += [(do_search, q) for q in queries]
+        jobs += [(do_caption, None)] * 2
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(lambda fa: fa[0](fa[1]), jobs))
+        counts = []
+        for kind, q, (code, out) in results:
+            assert code == 200, (kind, out)
+            if kind == "add":
+                counts.append(out["indexed"])
+            elif kind == "caption":
+                assert out["captions"] == oracle_caps  # adds don't perturb
+        assert max(counts) <= 12 and min(counts) >= 6  # 4 + 2 per add
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.loads(r.read())["indexed"] == 12
+
+        code, final = _post(port, "/v1/retrieval/search",
+                            {"queries": queries, "top_k": 12})
+        assert code == 200
+    finally:
+        server.shutdown()
+        server.server_close()
+
+    # final-state oracle: fresh server, same videos added sequentially
+    srv2 = main(
+        ["--mode", "retrieval", "--rerank_store_full", "--stage_two",
+         "--vocab_file", vocab,
+         "--output_dir", str(tmp_path / "srv2"), "--host", "127.0.0.1",
+         "--port", "0", "--serve_batch_size", "4"] + TINY,
+        serve_forever=False,
+    )
+    p2 = srv2.server_address[1]
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        _post(p2, "/v1/retrieval/add",
+              {"videos": base_vids, "ids": [f"b{i}" for i in range(4)]})
+        _post(p2, "/v1/retrieval/add",
+              {"videos": extra_vids, "ids": [f"x{i}" for i in range(8)]})
+        code, ref = _post(p2, "/v1/retrieval/search",
+                          {"queries": queries, "top_k": 12})
+        assert code == 200
+        for got, want in zip(final["results"], ref["results"]):
+            assert [h["id"] for h in got] == [h["id"] for h in want]
+            np.testing.assert_allclose(
+                [h["score"] for h in got], [h["score"] for h in want],
+                rtol=1e-5, atol=1e-6)
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
+
+
 def test_serve_loads_saved_index(tmp_path, vocab):
     from univl_tpu.cli.serve import main
 
