@@ -81,7 +81,13 @@ def test_zero1_state_is_sharded(rng):
     total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(state.params))
     m = state.opt_state.m
     assert m.ndim == 1 and m.shape[0] >= total
-    assert m.shape[0] < total + n_dev  # minimal padding
+    # each shard is a whole number of [_CHUNK]-element rows (the update
+    # works on a [C, _CHUNK] view — see zero1._Plan); padding is bounded
+    # by one row per device (1.9 MB at dp=8, trivial vs the 2x/dp saving)
+    from univl_tpu.train.zero1 import _CHUNK
+
+    assert m.shape[0] < total + n_dev * _CHUNK
+    assert m.shape[0] % (n_dev * _CHUNK) == 0
     assert not m.sharding.is_fully_replicated
     shard_shapes = {s.data.shape for s in m.addressable_shards}
     assert shard_shapes == {(m.shape[0] // n_dev,)}

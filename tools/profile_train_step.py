@@ -5,7 +5,9 @@ Usage: python tools/profile_train_step.py <out_dir> [n_steps=3] [variant]
 variant: 'default' (bench config: fused train attention + bf16 Adam),
          'xla' (no Pallas), 'stage2' (stage-II pretrain micro-step,
          VERDICT round-1 item 8), 'ftalign' (train_sim_after_cross bs 32,
-         both Pallas kernels — the docs/PERF.md 113 ms step).
+         both Pallas kernels — the docs/PERF.md 113 ms step),
+         'zero1' (--zero1 dp=1: isolates the sharded optimizer's
+         structural overhead vs 'default').
 Then: python tools/hlo_top.py <out_dir> 25 <n_steps>
 """
 
@@ -64,17 +66,25 @@ def main():
         cfg = UniVLConfig.base(
             compute_dtype="bfloat16" if on_tpu else "float32",
             use_pallas=False,
-            use_train_pallas=(variant == "default") and on_tpu,
+            use_train_pallas=(variant in ("default", "zero1")) and on_tpu,
             batch_size_per_device=32,
         )
         batch_kw = {}
     model = UniVL(cfg)
     mesh = make_mesh()
-    tx = make_univl_optimizer(
-        lr=3e-5, t_total=1000, warmup_proportion=0.1,
-        state_dtype="bfloat16" if on_tpu else None,
-    )
-    trainer = Trainer(model, tx, mesh)
+    if variant == "zero1":
+        from univl_tpu.train.zero1 import make_univl_zero1_optimizer
+
+        tx = make_univl_zero1_optimizer(
+            lr=3e-5, t_total=1000, dp=1, warmup_proportion=0.1,
+        )
+        trainer = Trainer(model, tx, mesh, zero1=True)
+    else:
+        tx = make_univl_optimizer(
+            lr=3e-5, t_total=1000, warmup_proportion=0.1,
+            state_dtype="bfloat16" if on_tpu else None,
+        )
+        trainer = Trainer(model, tx, mesh)
 
     per_dev = _make_batch(cfg, cfg.batch_size_per_device, **batch_kw)
     print("init_state...", flush=True)

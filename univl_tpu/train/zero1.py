@@ -77,12 +77,22 @@ def zero1_state_pspecs():
 class _Plan(NamedTuple):
     """Static flattening plan for one param tree (host-side, cached).
 
-    Only PER-LEAF descriptors are stored ([n_leaves]-sized); the
-    per-ELEMENT segment/decay/lr-scale vectors are derived on device from
-    an iota + searchsorted + gather. Baking [T_pad]-sized host constants
-    into the program instead makes the HLO carry ~T_pad*12 bytes of
+    Only PER-LEAF descriptors are stored ([n_leaves]-sized); per-ELEMENT
+    metadata is never materialized from host. Baking [T_pad]-sized host
+    constants into the program makes the HLO carry ~T_pad*12 bytes of
     literals — 2 GB at flagship scale, which the tunneled remote-compile
     endpoint rejects outright (HTTP 413; found by on-chip verification).
+    Deriving them on device per ELEMENT (iota + searchsorted + gather) is
+    HLO-small but catastrophically slow on TPU: profiled at 14.5 s/step at
+    flagship scale — a 9-iteration binary-search while-loop over the
+    [152M] vector (9.6 s), a segment_sum scatter (1.3 s), and three [152M]
+    one-per-element gathers (~1.1-1.3 s each), all scalar-unit-bound. The
+    update therefore works on a [C, _CHUNK] view and exploits that leaves
+    are CONTIGUOUS runs of the flat vector: per-ROW leaf values come from
+    one [C, n_leaves] compare-matmul (VPU/MXU-friendly), rows crossed by a
+    leaf boundary get rank-local row corrections (an [n_leaves]-row
+    scatter), and per-leaf sq-sums use a [C]-sized row segment_sum plus
+    boundary-row tail moves — O(n_leaves)-sized gathers/scatters only.
     """
 
     shapes: tuple
@@ -96,13 +106,17 @@ class _Plan(NamedTuple):
     leaf_scale: np.ndarray  # [n_leaves+1] f32 LR multiplier (pad leaf 0)
 
 
+_CHUNK = 8192  # row width of the on-device [C, _CHUNK] view (64 f32 tiles)
+
+
 def _build_plan(params, dp, decay_mask_fn, lr_scale_fn) -> _Plan:
     leaves = jax.tree.leaves(params)
     shapes = tuple(l.shape for l in leaves)
     sizes = tuple(int(np.prod(s)) if s else 1 for s in shapes)
     offsets = tuple(int(x) for x in np.cumsum((0,) + sizes)[:-1])
     total = int(sum(sizes))
-    shard = -(-total // dp)  # ceil
+    # ceil to dp shards, each a whole number of _CHUNK rows
+    shard = -(-(-(-total // dp)) // _CHUNK) * _CHUNK
     total_pad = shard * dp
     n = len(leaves)
     ends = np.cumsum(sizes).astype(np.int32)
@@ -111,6 +125,77 @@ def _build_plan(params, dp, decay_mask_fn, lr_scale_fn) -> _Plan:
     decay = np.asarray([1.0 if d else 0.0 for d in d_leaves] + [0.0], np.float32)
     scale = np.asarray([float(s) for s in s_leaves] + [0.0], np.float32)
     return _Plan(shapes, sizes, offsets, total, total_pad, shard, ends, decay, scale)
+
+
+def _expand_leaf_vals(vals: jax.Array, ends: jax.Array, start: jax.Array,
+                      C: int) -> jax.Array:
+    """Per-element [C, _CHUNK] expansion of per-leaf values for THIS rank's
+    shard (global element i belongs to leaf #{ends <= i}). No per-element
+    gather: per-row base values via one [C, n] compare-matmul, plus row
+    corrections for the <= n_leaves rows a leaf boundary lands in."""
+    K = _CHUNK
+    n = ends.shape[0]
+    d = vals[1:] - vals[:-1]  # [n] value delta when crossing ends[k]
+    rows_idx = start + jax.lax.iota(jnp.int32, C) * K
+    # exact row-base values: integer leaf index per row (compare-sum) + a
+    # [C]-sized gather from the tiny [n+1] table — summing the f32 deltas
+    # across up to n leaves instead accumulates ~n-ulp cancellation error
+    # (measured 5e-5 rel at 300 leaves, outside the pinned 1e-5 rtol)
+    seg_row = jnp.sum(
+        (rows_idx[:, None] >= ends[None, :]).astype(jnp.int32), axis=1
+    )  # [C]
+    row0 = vals[seg_row]  # [C] value at each row's first element
+    b_rel = ends - start
+    p = jnp.clip(b_rel, 0, C * K)
+    # a boundary at a row START splits nothing — the row's base value is
+    # already the new leaf's (rows_idx >= ends counted it); only boundaries
+    # strictly inside a row need a correction
+    valid = (b_rel > 0) & (b_rel < C * K) & (p % K > 0)
+    rows_b = jnp.where(valid, p // K, C)
+    off = jnp.where(valid, b_rel - rows_b * K, 0)
+    corr_rows = d[:, None] * (
+        jax.lax.iota(jnp.int32, K)[None, :] >= off[:, None]
+    ).astype(jnp.float32)  # [n, K]
+    corr = jnp.zeros((C + 1, K), jnp.float32).at[rows_b].add(corr_rows)[:C]
+    return row0[:, None] + corr
+
+
+def _leaf_sq_sums(g2: jax.Array, ends: jax.Array, start: jax.Array) -> jax.Array:
+    """Rank-local per-leaf sums of ``g2`` ([C, _CHUNK] view of the shard).
+
+    Each row's sum is attributed to the leaf containing its FIRST element
+    (a [C]-sized segment_sum); rows a boundary crosses are fixed by moving
+    the row's tail-past-the-boundary from leaf j to leaf j+1 — nested
+    boundaries in one row telescope correctly. Never differences a global
+    running sum (a cumsum-based variant lost ~ulp(total) per leaf to
+    cancellation — 2.4e-5 rel on the resulting clip coefficients, outside
+    the pinned 1e-5 equivalence rtol). Returns [n_leaves + 1] (last entry
+    = the flat-padding tail)."""
+    C, K = g2.shape
+    n = ends.shape[0]
+    row_sum = jnp.sum(g2, axis=1)  # [C]
+    rows_idx = start + jax.lax.iota(jnp.int32, C) * K
+    seg_row = jnp.sum(
+        (rows_idx[:, None] >= ends[None, :]).astype(jnp.int32), axis=1
+    )  # [C] leaf of each row's first element
+    base = jax.ops.segment_sum(row_sum, seg_row, num_segments=n + 1)
+
+    b_rel = ends - start
+    p = jnp.clip(b_rel, 0, C * K)
+    # boundaries at a row start split nothing (that row's base already
+    # belongs to leaf j+1)
+    valid = (b_rel > 0) & (b_rel < C * K) & (p % K > 0)
+    rows_b = jnp.minimum(p // K, C - 1)
+    off = p - rows_b * K
+    head = jnp.sum(
+        g2[rows_b] * (jax.lax.iota(jnp.int32, K)[None, :] < off[:, None]),
+        axis=1,
+    )  # [n] sum of the boundary row BEFORE the boundary
+    tails = jnp.where(valid, row_sum[rows_b] - head, 0.0)
+    # move each boundary's tail from leaf j to leaf j+1 (index-aligned adds)
+    return (
+        base.at[:n].add(-tails).at[1:].add(tails)
+    )
 
 
 def _flatten(tree, total_pad: int) -> jax.Array:
@@ -175,7 +260,7 @@ def zero1_bert_adam(
         if params is None:
             raise ValueError("zero1_bert_adam requires params")
         plan = plan_for(params)
-        n_leaves = len(plan.sizes)
+        C = plan.shard // _CHUNK
 
         # Reduce-scatter the mean gradient: each device gets its shard.
         flat_g = _flatten(grads, plan.total_pad)
@@ -183,27 +268,31 @@ def zero1_bert_adam(
 
         rank = jax.lax.axis_index(DP_AXIS)
         start = rank * plan.shard
-        # Per-element leaf ids for THIS shard, derived on device (tiny
-        # [n_leaves] constants only — see _Plan docstring).
-        global_idx = start + jax.lax.iota(jnp.int32, plan.shard)
-        seg = jnp.searchsorted(
-            jnp.asarray(plan.leaf_ends), global_idx, side="right"
-        ).astype(jnp.int32)
+        ends = jnp.asarray(plan.leaf_ends)  # [n_leaves], tiny constant
 
         # Global-norm clip (mirrors optax.clip_by_global_norm: scale by
         # clip / max(norm, clip)).
+        g2 = (g * g).reshape(C, _CHUNK)
         if global_clip_norm > 0:
-            total_sq = jax.lax.psum(jnp.sum(g * g), DP_AXIS)
+            total_sq = jax.lax.psum(jnp.sum(g2), DP_AXIS)
             g_norm = jnp.sqrt(total_sq)
             g = g * (global_clip_norm / jnp.maximum(g_norm, global_clip_norm))
+            g2 = (g * g).reshape(C, _CHUNK)
 
         # Reference per-TENSOR clip (modules/optimization.py:134-136):
-        # full-leaf norms from shard-local segment sums + one psum.
+        # full-leaf norms from shard-local row/boundary sums + one psum
+        # (see _Plan docstring for why not segment_sum + gather).
         if max_grad_norm > 0:
-            leaf_sq = jax.ops.segment_sum(g * g, seg, num_segments=n_leaves + 1)
-            leaf_sq = jax.lax.psum(leaf_sq, DP_AXIS)
+            leaf_sq = jax.lax.psum(_leaf_sq_sums(g2, ends, start), DP_AXIS)
+            # the tail-move arithmetic can round an (exactly zero) leaf sum
+            # a few ulps NEGATIVE on TPU — observed -1.8e-12 on the flat
+            # padding tail at flagship scale — and sqrt(<0)=NaN would then
+            # spread through _expand_leaf_vals' boundary deltas; sums of
+            # squares are >= 0 by construction, so clamp before the sqrt
+            leaf_sq = jnp.maximum(leaf_sq, 0.0)
             coef = jnp.minimum(max_grad_norm / (jnp.sqrt(leaf_sq) + 1e-6), 1.0)
-            g = g * coef[seg]
+            coef_el = _expand_leaf_vals(coef, ends, start, C)
+            g = (g.reshape(C, _CHUNK) * coef_el).reshape(plan.shard)
 
         # Sharded moments: math in fp32, then rounded to ``state_dtype``
         # BEFORE the update is computed from them — the replicated
@@ -224,9 +313,13 @@ def zero1_bert_adam(
         if weight_decay > 0.0:
             flat_p = _flatten(params, plan.total_pad)
             p = jax.lax.dynamic_slice(flat_p, (start,), (plan.shard,))
-            dmask = jnp.asarray(plan.leaf_decay)[seg]
+            dmask = _expand_leaf_vals(
+                jnp.asarray(plan.leaf_decay), ends, start, C
+            ).reshape(plan.shard)
             upd = upd + weight_decay * dmask * p
-        smul = jnp.asarray(plan.leaf_scale)[seg]
+        smul = _expand_leaf_vals(
+            jnp.asarray(plan.leaf_scale), ends, start, C
+        ).reshape(plan.shard)
         upd = -(lr_t * smul) * upd
 
         # Re-assemble the full update (the only gather in the step).
