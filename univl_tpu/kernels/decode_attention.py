@@ -54,13 +54,20 @@ def beam_decode_self_attention(
     *,
     scale: float,
     interpret: bool = False,
+    donate: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (ctx [N, H, D], new_k_cache, new_v_cache).
 
     The returned caches are in the NEW beam order with position ``t``
     written, i.e. reorder-then-update-then-attend exactly like the unfused
-    step; the cache buffers are donated (input_output_aliases) so the
-    while-loop carry keeps one stable buffer per array.
+    step. With ``donate=True`` the cache buffers are donated
+    (input_output_aliases) so the while-loop carry keeps one stable buffer
+    per array — but the aliased in/out blocks share VMEM, which forces the
+    snapshot-then-store order below AND stops Mosaic from double-buffering
+    the block DMAs across groups. ``donate=False`` writes fresh output
+    buffers: Mosaic overlaps group g+1's loads with group g's stores
+    (measured A/B in docs/PERF.md), at the cost of XLA ping-ponging two
+    cache allocations in the decode while-loop.
 
     Positions > t of every source row are zero by construction (caches
     init to zero, each position is written exactly once, bucket growth
@@ -147,7 +154,7 @@ def beam_decode_self_attention(
         ),
         # operands (after the 2 scalar-prefetch args): q=2 kn=3 vn=4
         # kc=5 vc=6; donate the caches into outputs 1 and 2.
-        input_output_aliases={5: 1, 6: 2},
+        input_output_aliases={5: 1, 6: 2} if donate else {},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
