@@ -273,3 +273,20 @@ def test_serve_loads_saved_index(tmp_path, vocab):
         h["id"] for h in ref["results"][0]
     ]
     srv2.shutdown(); srv2.server_close()
+
+
+def test_serving_fused_decode_default_resolution():
+    """Serving defaults the fused decode kernel ON for the TPU backend
+    only (measured 1.26x decode ceiling, docs/PERF.md); an explicit
+    argument — e.g. --no-fused_decode through cli/serve.py — beats the
+    env var in both directions; the env var beats the backend default."""
+    from univl_tpu.serving.captioning import resolve_serving_fused_decode
+
+    # backend default: on for tpu, off elsewhere (interpret mode is slow)
+    assert resolve_serving_fused_decode(None, "tpu", "") is True
+    assert resolve_serving_fused_decode(None, "cpu", "") is False
+    # env var enables off-TPU too
+    assert resolve_serving_fused_decode(None, "cpu", "1") is True
+    # explicit argument wins in both directions
+    assert resolve_serving_fused_decode(False, "tpu", "1") is False
+    assert resolve_serving_fused_decode(True, "cpu", "") is True

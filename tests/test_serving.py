@@ -206,3 +206,23 @@ def test_index_edge_cases(rng, tokenizer):
     res = idx.search(["anything"], top_k=10)  # top_k > corpus size
     assert len(res[0]) == 3
     assert {i for i, _ in res[0]} == {"a", "b", "one_frame"}
+
+
+def test_caption_service_resolved_fused_decode(rng, tokenizer, monkeypatch):
+    """The service stores and applies the resolved serving default
+    (CPU backend here -> unfused), and an explicit argument sticks."""
+    monkeypatch.delenv("UNIVL_TPU_FUSED_DECODE", raising=False)
+    cfg, model, params = _model_and_params(
+        rng=rng, tokenizer=tokenizer, stage_two=True, task_type="caption"
+    )
+    svc = CaptionService(model, params, tokenizer, beam_size=2, max_len=8,
+                         batch_size=2)
+    assert svc.fused_decode is False
+    # explicit True on CPU: runs the kernel in interpret mode — captions
+    # must still come back (parity with the unfused path is pinned in
+    # tests/test_fast_decoder.py)
+    svc_f = CaptionService(model, params, tokenizer, beam_size=2, max_len=8,
+                           batch_size=2, fused_decode=True)
+    assert svc_f.fused_decode is True
+    vids = _videos(rng, 2, cfg.video_dim)
+    assert svc.caption(vids) == svc_f.caption(vids)

@@ -199,7 +199,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "the KV cache (decode ceiling 1.26x; numerics match "
                         "the default to f32 tolerance, not bitwise — "
                         "docs/PERF.md). Unset -> UNIVL_TPU_FUSED_DECODE env "
-                        "decides; --no-fused_decode overrides the env var")
+                        "decides (and the serve driver defaults to ON on "
+                        "TPU); --no-fused_decode overrides both")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_policy", type=str, default="full",
                    choices=["full", "dots"],

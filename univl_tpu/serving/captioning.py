@@ -12,6 +12,7 @@ shape, and decodes with or without transcripts:
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -19,6 +20,29 @@ import numpy as np
 from univl_tpu.data.text_encoding import encode_text, pad_video
 from univl_tpu.evals.beam import CaptionGenerator
 from univl_tpu.models.univl import UniVL
+
+
+def resolve_serving_fused_decode(
+    explicit: Optional[bool], backend: str, env: str
+) -> bool:
+    """Serving-side default for the fused decode attention kernel.
+
+    Unlike the eval drivers (whose default decoder keeps the
+    bit-identical-to-full-prefix invariant so published metrics stay
+    exactly reproducible), serving only needs caption QUALITY, and the
+    fused path matches the unfused one to f32 tolerance (teacher-forced
+    64-step trajectory: max |logp| diff 1.2e-2, docs/PERF.md). It is
+    measurably faster on TPU — decode ceiling 130 vs 164 ms/batch16
+    (1.26x), bucket-32 floor 30.1 vs 32.0 ms (1.06x) — so it is the
+    serving DEFAULT there. Precedence: an explicit argument (e.g.
+    --no-fused_decode from cli/serve.py) wins in both directions; then
+    the UNIVL_TPU_FUSED_DECODE env var (enable only); then on-by-default
+    on the TPU backend, off elsewhere (off-TPU the kernel runs in Pallas
+    interpret mode — correct but far too slow to default on).
+    """
+    if explicit is not None:
+        return bool(explicit)
+    return bool(env) or backend == "tpu"
 
 
 class CaptionService:
@@ -39,6 +63,13 @@ class CaptionService:
         self.max_frames = cfg.max_frames
         self.video_dim = cfg.video_dim
         self.batch_size = batch_size
+        import jax
+
+        fused_decode = resolve_serving_fused_decode(
+            fused_decode, jax.default_backend(),
+            os.environ.get("UNIVL_TPU_FUSED_DECODE", ""),
+        )
+        self.fused_decode = fused_decode
         self._gen = CaptionGenerator(
             model, params, tokenizer,
             beam_size=beam_size,
