@@ -487,3 +487,97 @@ def test_pretrain_preemption_save_and_resume(tmp_path, vocab, backend):
     ):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=str(path))
+
+
+def test_full_reference_workflow_chain(tmp_path, vocab, youcook):
+    """The reference's complete published pipeline, artifact-for-artifact
+    (README.md:77-247; VERDICT r2 item 4): stage-I pretrain -> stage-II
+    pretrain initialized from stage-I params -> export the torch-layout
+    `univl.pretrained.bin` -> FT-Joint retrieval finetune via --init_model
+    -> caption finetune from the same .bin. Fails if ANY inter-stage
+    contract regresses: param-tree layout, tied weights, partial stage-I
+    -> stage-II restore, the torch exporter/importer round-trip, or either
+    task driver's --init_model path.
+    """
+    from univl_tpu.cli import convert_checkpoint, pretrain, task_caption, \
+        task_retrieval
+
+    ht = str(tmp_path / "ht")
+    ht_csv, ht_data, ht_feat = fixtures.make_howto100m(
+        ht, n_videos=8, clips_per_video=4, video_dim=32, corrupt_last=False,
+    )
+    yc_csv, yc_data, yc_feat = youcook
+
+    # --- stage I: encoders + joint sim only (README.md:212-223)
+    out1 = str(tmp_path / "stage1")
+    pretrain.main(
+        ["--do_pretrain", "--sampled_use_mil", "--n_pair", "2",
+         "--vocab_file", vocab, "--train_csv", ht_csv,
+         "--data_path", ht_data, "--features_path", ht_feat,
+         "--output_dir", out1, "--min_time", "5.0"] + COMMON
+    )
+    stage1_params = os.path.join(out1, "params.msgpack.0")
+    assert os.path.exists(stage1_params)
+
+    # --- stage II: adds cross+decoder, initialized from stage-I params
+    # (partial restore: new modules keep their fresh init; README.md:233-247)
+    out2 = str(tmp_path / "stage2")
+    pretrain.main(
+        ["--do_pretrain", "--stage_two", "--pretrain_enhance_vmodal",
+         "--sampled_use_mil", "--n_pair", "2",
+         "--init_model", stage1_params,
+         "--vocab_file", vocab, "--train_csv", ht_csv,
+         "--data_path", ht_data, "--features_path", ht_feat,
+         "--output_dir", out2, "--min_time", "5.0"] + COMMON
+    )
+    stage2_params = os.path.join(out2, "params.msgpack.0")
+    assert os.path.exists(stage2_params)
+
+    # --- export the reference-layout weight file (the artifact the
+    # reference calls `univl.pretrained.bin`)
+    bin_path = str(tmp_path / "univl.pretrained.bin")
+    convert_checkpoint.main(
+        ["--export_torch", "--flax_params", stage2_params,
+         "--output", bin_path])
+    assert os.path.exists(bin_path)
+
+    # --- round-trip contract: eval from the exported .bin must equal eval
+    # from the flax params it was exported from
+    eval_common = [
+        "--do_eval", "--datatype", "youcook", "--vocab_file", vocab,
+        "--train_csv", yc_csv, "--val_csv", yc_csv,
+        "--data_path", yc_data, "--features_path", yc_feat,
+    ] + COMMON
+    m_msgpack = task_retrieval.main(
+        eval_common + ["--init_model", stage2_params,
+                       "--output_dir", str(tmp_path / "ev_msgpack")])
+    m_bin = task_retrieval.main(
+        eval_common + ["--init_model", bin_path,
+                       "--output_dir", str(tmp_path / "ev_bin")])
+    assert m_bin["R1"] == m_msgpack["R1"], (m_bin, m_msgpack)
+    assert m_bin["R5"] == m_msgpack["R5"]
+
+    # --- FT-Joint retrieval finetune from the .bin (README.md:77-91)
+    out_ret = str(tmp_path / "ft_joint")
+    best_ret = task_retrieval.main(
+        ["--do_train", "--do_eval", "--datatype", "youcook",
+         "--vocab_file", vocab, "--init_model", bin_path,
+         "--train_csv", yc_csv, "--val_csv", yc_csv,
+         "--data_path", yc_data, "--features_path", yc_feat,
+         "--output_dir", out_ret] + COMMON
+    )
+    assert best_ret is not None and 0.0 <= best_ret["R1"] <= 1.0
+    assert os.path.exists(os.path.join(out_ret, "best.msgpack"))
+
+    # --- caption finetune from the same .bin (README.md:137-163)
+    out_cap = str(tmp_path / "ft_caption")
+    best_cap = task_caption.main(
+        ["--do_train", "--do_eval", "--stage_two", "--datatype", "youcook",
+         "--vocab_file", vocab, "--init_model", bin_path,
+         "--train_csv", yc_csv, "--val_csv", yc_csv,
+         "--data_path", yc_data, "--features_path", yc_feat,
+         "--output_dir", out_cap] + COMMON
+    )
+    assert best_cap is not None and "Bleu_4" in best_cap
+    assert os.path.exists(os.path.join(out_cap, "hyp.0.txt"))
+    assert os.path.exists(os.path.join(out_cap, "ref.0.txt"))

@@ -115,6 +115,60 @@ statez = trz.init_state(jax.random.key(0), example)
 assert not statez.opt_state.m.sharding.is_fully_replicated
 statez, mz = trz.train_step(statez, batch, jax.random.key(1))
 print("ZLOSS", pid, repr(float(mz["loss"])), flush=True)
+
+# ---- multi-host checkpointing (round-3 VERDICT item 7): the three things
+# a preempted 2-host run needs are step (above), SAVE, and RESUME.
+out_dir = sys.argv[3]
+import os
+from univl_tpu.checkpoint.io import restore_checkpoint, save_checkpoint
+
+# (a) msgpack: the zero1 m/v shards span BOTH processes — save gathers
+# them collectively, process 0 writes, the barrier orders the write
+# before either process's restore.
+ck = os.path.join(out_dir, "mh_state.msgpack")
+save_checkpoint(ck, statez, metadata={{"global_step": 1}})
+assert os.path.exists(ck)  # shared fs in this test
+fresh = trz.init_state(jax.random.key(42), example)
+restored, meta = restore_checkpoint(ck, fresh)
+assert meta["global_step"] == 1
+# numpy leaves re-shard on entry to the next step; it must continue
+# exactly where the saved state would
+statez, mz2 = trz.train_step(statez, batch, jax.random.key(2))
+restored, mr2 = trz.train_step(restored, batch, jax.random.key(2))
+print("RLOSS", pid, repr(float(mz2["loss"])), repr(float(mr2["loss"])),
+      flush=True)
+
+# (b) orbax manager: cross-host sharded save (each process writes its own
+# shards; process 0 coordinates) and restore to the SAME shardings.
+from univl_tpu.checkpoint.manager import RotatingCheckpointManager
+
+mgr = RotatingCheckpointManager(os.path.join(out_dir, "ckpts"), max_to_keep=2)
+mgr.save(1, statez, metrics={{"epoch": 0, "global_step": 2}})
+tmpl = trz.init_state(jax.random.key(43), example)
+ostate, ometa, ostep = mgr.restore_latest(tmpl)
+assert ostep == 1 and ometa["global_step"] == 2
+assert not ostate.opt_state.m.sharding.is_fully_replicated  # shardings kept
+statez, mz3 = trz.train_step(statez, batch, jax.random.key(3))
+ostate, mo3 = trz.train_step(ostate, batch, jax.random.key(3))
+mgr.close()
+print("OLOSS", pid, repr(float(mz3["loss"])), repr(float(mo3["loss"])),
+      flush=True)
+
+# (c) sharded retrieval eval assembly: encode over the 2-process mesh,
+# device-side sim matrix, host metrics — every process must see the full
+# matrix (the all-gathering _host fetch) and identical R@K.
+from univl_tpu.evals.retrieval import RetrievalEvaluator
+
+ev = RetrievalEvaluator(model, {{"params": statez.params}}, batch_size=16,
+                        mesh=mesh)
+ds = SyntheticDS()
+eval_batches = [
+    {{k: np.stack([ds[i][k] for i in range(b, b + 16)]) for k in ds[0]}}
+    for b in range(0, 32, 16)
+]
+metrics = ev.evaluate(iter(eval_batches), mode="joint")
+print("EVAL", pid, repr(metrics["R1"]), repr(metrics["R5"]),
+      repr(metrics["MR"]), flush=True)
 """
 
 
@@ -128,12 +182,14 @@ def test_two_process_dp_step(tmp_path):
     port = _free_port()
     script = tmp_path / "child.py"
     script.write_text(CHILD.format(repo=REPO))
+    out_dir = tmp_path / "mh"
+    out_dir.mkdir()
 
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # child sets its own device count
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(port), str(pid)],
+            [sys.executable, str(script), str(port), str(pid), str(out_dir)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
         )
         for pid in (0, 1)
@@ -149,7 +205,7 @@ def test_two_process_dp_step(tmp_path):
         outs.append(out)
         assert p.returncode == 0, f"child failed:\n{out}"
 
-    losses, zlosses = {}, {}
+    losses, zlosses, rlosses, olosses, evals = {}, {}, {}, {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("LOSS "):
@@ -158,6 +214,16 @@ def test_two_process_dp_step(tmp_path):
             elif line.startswith("ZLOSS "):
                 _, pid, val = line.split(maxsplit=2)
                 zlosses[int(pid)] = float(eval(val))
+            elif line.startswith("RLOSS "):
+                _, pid, a, b = line.split(maxsplit=3)
+                rlosses[int(pid)] = (float(eval(a)), float(eval(b)))
+            elif line.startswith("OLOSS "):
+                _, pid, a, b = line.split(maxsplit=3)
+                olosses[int(pid)] = (float(eval(a)), float(eval(b)))
+            elif line.startswith("EVAL "):
+                _, pid, r1, r5, medr = line.split(maxsplit=4)
+                evals[int(pid)] = (float(eval(r1)), float(eval(r5)),
+                                   float(eval(medr)))
     assert set(losses) == {0, 1}, outs
     assert np.isfinite(losses[0])
     # both processes verified their shards against the known-answer order
@@ -168,6 +234,25 @@ def test_two_process_dp_step(tmp_path):
     # zero1 runs cross-process too, on the same data -> same loss
     assert set(zlosses) == {0, 1}, outs
     assert zlosses[0] == zlosses[1] == losses[0], (zlosses, losses)
+    # msgpack save of the CROSS-HOST-sharded zero1 state + restore + step:
+    # the restored run continues bit-identically to the uninterrupted one
+    assert set(rlosses) == {0, 1}, outs
+    for pid in (0, 1):
+        cont, resumed = rlosses[pid]
+        assert cont == resumed, rlosses
+    assert rlosses[0] == rlosses[1]
+    # orbax manager: sharded save + restore_latest keeps shardings and
+    # continues identically
+    assert set(olosses) == {0, 1}, outs
+    for pid in (0, 1):
+        cont, resumed = olosses[pid]
+        assert cont == resumed, olosses
+    assert olosses[0] == olosses[1]
+    # sharded retrieval eval: both processes assemble the SAME full sim
+    # matrix and metrics
+    assert set(evals) == {0, 1}, outs
+    assert evals[0] == evals[1], evals
+    assert 0.0 <= evals[0][0] <= 1.0 and evals[0][2] >= 1.0
 
     # True known answer: the SAME global batch + step on THIS process's
     # own 8-device mesh (single process) must produce the identical loss —

@@ -19,15 +19,40 @@ import jax
 from flax import serialization
 
 
+def _gather_full(leaf):
+    """Host-fetchable copy of a leaf. Cross-host-sharded arrays (e.g. the
+    ZeRO-1 m/v shards, P('dp') over a multi-host mesh) are not addressable
+    from any single process — replicate them via a jitted identity (XLA
+    all-gather over ICI/DCN) before device_get."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(leaf.sharding.mesh, PartitionSpec())
+        leaf = jax.jit(lambda x: x, out_shardings=repl)(leaf)
+    return leaf
+
+
 def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None) -> str:
-    """Serialize a pytree (params or full TrainState) to `path`."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    """Serialize a pytree (params or full TrainState) to `path`.
+
+    Multi-host: every process participates in the shard gather (a
+    collective — all processes MUST call this together), but only process
+    0 touches the filesystem; with per-host disks the file lands on host 0
+    (the reference's rank-0-only torch.save, main_pretrain.py:258-276)."""
+    state = jax.tree.map(_gather_full, state)
     state = jax.device_get(state)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(state))
-    if metadata is not None:
-        with open(path + ".json", "w") as f:
-            json.dump(metadata, f)
+    if jax.process_index() == 0:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(state))
+        if metadata is not None:
+            with open(path + ".json", "w") as f:
+                json.dump(metadata, f)
+    if jax.process_count() > 1:
+        # order process 0's write before any other process's restore
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("univl_ckpt_save")
     return path
 
 

@@ -77,7 +77,11 @@ class RotatingCheckpointManager:
             self._mgr.delete(step)
         # async: hand orbax the device arrays — it copies them to host
         # before returning and writes on a background thread.
-        payload = state if self.async_save else jax.device_get(state)
+        # multi-host: ALWAYS hand orbax the global jax.Arrays — it writes
+        # each process's addressable shards and process 0 coordinates
+        # finalization (device_get would crash on cross-host shards).
+        sync = not self.async_save and jax.process_count() == 1
+        payload = jax.device_get(state) if sync else state
         saved = self._mgr.save(
             step,
             args=ocp.args.Composite(
@@ -104,13 +108,18 @@ class RotatingCheckpointManager:
         return sorted(self._mgr.all_steps())
 
     def restore(self, step: int, template: Any):
-        """Restore the pytree saved at `step` into `template`'s structure."""
+        """Restore the pytree saved at `step` into `template`'s structure.
+
+        Multi-host: the template's jax.Arrays keep their shardings, so
+        orbax restores each process's shards in place and returns global
+        sharded arrays (no host-side full copy ever materializes)."""
         ocp = self._ocp
         self._mgr.wait_until_finished()
+        tmpl = jax.device_get(template) if jax.process_count() == 1 else template
         out = self._mgr.restore(
             step,
             args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(jax.device_get(template)),
+                state=ocp.args.StandardRestore(tmpl),
                 meta=ocp.args.JsonRestore(),
             ),
         )

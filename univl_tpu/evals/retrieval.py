@@ -97,6 +97,15 @@ class RetrievalEvaluator:
         self._pool = pool_fn
         self._cross_block = cross_block_fn
 
+    def _host(self, x, dtype=None):
+        """np.asarray that works when `x` is sharded over a MULTI-HOST mesh
+        (rows on other processes are not addressable here): replicate via a
+        jitted identity (XLA all-gather) first. Single-host sharded arrays
+        are fully addressable and skip the gather."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            x = jax.jit(lambda a: a, out_shardings=self._repl)(x)
+        return np.asarray(x, dtype) if dtype is not None else np.asarray(x)
+
     # ------------------------------------------------------------ #
     def encode_dataset(
         self, batches: Iterator[Dict[str, np.ndarray]], store_full: bool = True
@@ -124,12 +133,12 @@ class RetrievalEvaluator:
             )
             t, v = self._pool(seq, vis, batch["attention_mask"], batch["video_mask"])
             if store_full:
-                seqs.append(np.asarray(seq[:n], np.float32))
-                viss.append(np.asarray(vis[:n], np.float32))
-                ams.append(np.asarray(batch["attention_mask"])[:n])
-                vms.append(np.asarray(batch["video_mask"])[:n])
-            texts.append(np.asarray(t[:n], np.float32))
-            videos.append(np.asarray(v[:n], np.float32))
+                seqs.append(self._host(seq, np.float32)[:n])
+                viss.append(self._host(vis, np.float32)[:n])
+                ams.append(self._host(batch["attention_mask"])[:n])
+                vms.append(self._host(batch["video_mask"])[:n])
+            texts.append(self._host(t, np.float32)[:n])
+            videos.append(self._host(v, np.float32)[:n])
         out = {
             "text_emb": np.concatenate(texts),
             "video_emb": np.concatenate(videos),
@@ -160,7 +169,7 @@ class RetrievalEvaluator:
             text = jax.device_put(jnp.asarray(t), self._shard_rows)
             video = jax.device_put(jnp.asarray(enc["video_emb"]), self._repl)
             sim = jax.jit(lambda a, b: a @ b.T)(text, video)
-            return np.asarray(sim)[: enc["text_emb"].shape[0]]
+            return self._host(sim)[: enc["text_emb"].shape[0]]
         return enc["text_emb"] @ enc["video_emb"].T
 
     def encode_dataset_device(self, batches: Iterator[Dict[str, np.ndarray]]):
@@ -268,7 +277,7 @@ class RetrievalEvaluator:
                     vis_j = jax.device_put(jnp.asarray(vis_j), self._repl)
                     vm_j = jax.device_put(jnp.asarray(vm_j), self._repl)
                 block = self._cross_block(self.params, seq_i, vis_j, am_i, vm_j)
-                sim[i0:i1, j0:j1] = np.asarray(block)[: i1 - i0, : j1 - j0]
+                sim[i0:i1, j0:j1] = self._host(block)[: i1 - i0, : j1 - j0]
         return sim
 
     # ------------------------------------------------------------ #
