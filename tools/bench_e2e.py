@@ -49,7 +49,7 @@ def main():
     from univl_tpu.config import UniVLConfig
     from univl_tpu.data import fixtures
     from univl_tpu.data.batching import Batcher, cast_floats, prefetch_to_device
-    from univl_tpu.data.tokenization import BertTokenizer
+    from univl_tpu.data.tokenization import WordPieceTokenizer
     from univl_tpu.data.youcook import YoucookRetrievalDataset
     from univl_tpu.models.univl import UniVL
     from univl_tpu.parallel.mesh import make_mesh
@@ -64,7 +64,7 @@ def main():
     csv_path, data_path, feat_path = fixtures.make_youcook(
         tmp, n_videos=n_videos, clips_per_video=8, video_dim=1024,
     )
-    tok = BertTokenizer(vocab)
+    tok = WordPieceTokenizer(vocab)
     ds = YoucookRetrievalDataset(
         csv_path, data_path, feat_path, tok,
         max_words=48, feature_framerate=1.0, max_frames=48,

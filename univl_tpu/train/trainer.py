@@ -42,6 +42,25 @@ class TrainState:
     step: jax.Array  # global optimizer steps taken
 
 
+def xla_options_from_env() -> Dict[str, str] | None:
+    """Parse UNIVL_TPU_XLA_OPTIONS ("opt=val,opt2=val2") into per-jit XLA
+    compiler options — the A/B surface for backend scheduling knobs (e.g.
+    xla_tpu_enable_latency_hiding_scheduler; measured A/Bs in docs/PERF.md).
+    Unknown names fail loudly at compile time, so a typo can't no-op."""
+    import os
+
+    raw = os.environ.get("UNIVL_TPU_XLA_OPTIONS", "").strip()
+    if not raw:
+        return None
+    out: Dict[str, str] = {}
+    for item in raw.split(","):
+        k, _, v = item.partition("=")
+        if not k.strip() or not v:
+            raise ValueError(f"UNIVL_TPU_XLA_OPTIONS: bad entry {item!r}")
+        out[k.strip()] = v.strip()
+    return out
+
+
 class Trainer:
     """Data-parallel trainer for any flax module whose apply returns a dict
     with key 'loss'."""
@@ -54,6 +73,7 @@ class Trainer:
         grad_accum_steps: int = 1,
         donate: bool = True,
         zero1: bool = False,
+        compiler_options: Dict[str, str] | None = None,
     ):
         self.model = model
         self.tx = tx
@@ -70,6 +90,12 @@ class Trainer:
         self.zero1 = zero1
         if zero1 and self.tp_size > 1:
             raise ValueError("zero1 requires tp == 1 (params replicated in dp)")
+        # Per-step XLA overrides (e.g. the latency-hiding scheduler A/B in
+        # docs/PERF.md); defaults from UNIVL_TPU_XLA_OPTIONS so bench.py and
+        # every CLI driver can A/B scheduling knobs without code changes.
+        if compiler_options is None:
+            compiler_options = xla_options_from_env()
+        self.compiler_options = dict(compiler_options) if compiler_options else None
         self._train_step, self._train_steps = self._build_train_step(donate)
 
     # ------------------------------------------------------------ #
@@ -188,6 +214,7 @@ class Trainer:
         @functools.partial(
             jax.jit,
             donate_argnums=(0,) if donate else (),
+            compiler_options=self.compiler_options,
         )
         def train_step(state: TrainState, batch, rng):
             new_params, new_opt_state, metrics = mapped(
@@ -201,6 +228,7 @@ class Trainer:
         @functools.partial(
             jax.jit,
             donate_argnums=(0,) if donate else (),
+            compiler_options=self.compiler_options,
         )
         def train_steps(state: TrainState, batches, rng):
             """K optimizer steps in ONE dispatch (lax.scan over the leading
