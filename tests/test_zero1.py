@@ -70,8 +70,10 @@ def test_zero1_matches_replicated_multi_step(rng):
 
 
 def test_zero1_state_is_sharded(rng):
-    """Optimizer moments live as flat [T_pad] vectors sharded over dp —
-    the per-device slice is 1/dp of the whole (the ZeRO memory claim)."""
+    """Optimizer moments live as [T_pad // _CHUNK, _CHUNK] row-chunked
+    arrays row-sharded over dp — the per-device slice is 1/dp of the whole
+    (the ZeRO memory claim), stored in the 2-D layout the update math uses
+    so the step never relayouts them (docs/PERF.md zero1 v2)."""
     cfg = UniVLConfig.tiny()
     n_dev = len(jax.devices())
     mesh = make_mesh()
@@ -80,17 +82,18 @@ def test_zero1_state_is_sharded(rng):
 
     total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(state.params))
     m = state.opt_state.m
-    assert m.ndim == 1 and m.shape[0] >= total
-    # each shard is a whole number of [_CHUNK]-element rows (the update
-    # works on a [C, _CHUNK] view — see zero1._Plan); padding is bounded
-    # by one row per device (1.9 MB at dp=8, trivial vs the 2x/dp saving)
     from univl_tpu.train.zero1 import _CHUNK
 
-    assert m.shape[0] < total + n_dev * _CHUNK
-    assert m.shape[0] % (n_dev * _CHUNK) == 0
+    assert m.ndim == 2 and m.shape[1] == _CHUNK
+    assert m.size >= total
+    # each shard is a whole number of [_CHUNK]-element rows; padding is
+    # bounded by one row per device (1.9 MB at dp=8, trivial vs the
+    # 2x/dp saving)
+    assert m.size < total + n_dev * _CHUNK
+    assert m.shape[0] % n_dev == 0
     assert not m.sharding.is_fully_replicated
     shard_shapes = {s.data.shape for s in m.addressable_shards}
-    assert shard_shapes == {(m.shape[0] // n_dev,)}
+    assert shard_shapes == {(m.shape[0] // n_dev, _CHUNK)}
 
     # and stays sharded after a step
     batch = t_z.shard_batch(global_batch(cfg, rng, n_dev))

@@ -31,9 +31,9 @@ multi-step equivalence on an 8-device mesh.
 Usage: construct with ``make_univl_zero1_optimizer(..., dp=mesh_dp)`` and
 pass to ``Trainer(..., zero1=True)``.  ``update_fn`` MUST run inside the
 trainer's ``shard_map`` (it issues dp-axis collectives); ``init_fn`` runs
-outside and returns GLOBAL [T_pad] moment vectors which the trainer
-places with a ``P('dp')`` sharding.  Requires tp == 1 (params replicated
-within the dp group).
+outside and returns GLOBAL [T_pad // _CHUNK, _CHUNK] moment arrays which
+the trainer places with a ``P('dp')`` (row-sharded) sharding.  Requires
+tp == 1 (params replicated within the dp group).
 """
 
 from __future__ import annotations
@@ -57,9 +57,13 @@ from univl_tpu.train.optimization import (
 class Zero1State(NamedTuple):
     """Sharded BertAdam state.
 
-    ``m``/``v`` are flat [T_pad] vectors globally, sharded over dp
-    (``P('dp')``); inside the trainer's shard_map each device sees its
-    [T_pad // dp] shard. ``step`` is the replicated scalar step count.
+    ``m``/``v`` are [T_pad // _CHUNK, _CHUNK] row-chunked views of the flat
+    moment vectors, sharded over dp on the row axis (``P('dp')``); inside
+    the trainer's shard_map each device sees its [shard // _CHUNK, _CHUNK]
+    rows. Storing the moments 2-D (the same layout the update math uses)
+    removes four per-step relayout passes between the 1-D ``T(1024)`` and
+    2-D ``T(8,128)`` tilings — measured 1.86 ms each at flagship scale
+    (docs/PERF.md). ``step`` is the replicated scalar step count.
     """
 
     step: jax.Array
@@ -88,11 +92,12 @@ class _Plan(NamedTuple):
     [152M] vector (9.6 s), a segment_sum scatter (1.3 s), and three [152M]
     one-per-element gathers (~1.1-1.3 s each), all scalar-unit-bound. The
     update therefore works on a [C, _CHUNK] view and exploits that leaves
-    are CONTIGUOUS runs of the flat vector: per-ROW leaf values come from
-    one [C, n_leaves] compare-matmul (VPU/MXU-friendly), rows crossed by a
-    leaf boundary get rank-local row corrections (an [n_leaves]-row
-    scatter), and per-leaf sq-sums use a [C]-sized row segment_sum plus
-    boundary-row tail moves — O(n_leaves)-sized gathers/scatters only.
+    are CONTIGUOUS runs of the flat vector: per-leaf metadata is applied
+    as a per-ROW broadcast (fusing into its consumer) plus tiny
+    boundary-row fixes (_RowPlan/_apply_leaf_mul), and per-leaf sq-sums
+    use a [C]-sized row segment_sum plus boundary-row tail moves —
+    O(n_leaves)-sized gathers/scatters only, and no [C, _CHUNK]
+    metadata buffer is ever materialized.
     """
 
     shapes: tuple
@@ -127,40 +132,61 @@ def _build_plan(params, dp, decay_mask_fn, lr_scale_fn) -> _Plan:
     return _Plan(shapes, sizes, offsets, total, total_pad, shard, ends, decay, scale)
 
 
-def _expand_leaf_vals(vals: jax.Array, ends: jax.Array, start: jax.Array,
-                      C: int) -> jax.Array:
-    """Per-element [C, _CHUNK] expansion of per-leaf values for THIS rank's
-    shard (global element i belongs to leaf #{ends <= i}). No per-element
-    gather: per-row base values via one [C, n] compare-matmul, plus row
-    corrections for the <= n_leaves rows a leaf boundary lands in."""
+class _RowPlan(NamedTuple):
+    """On-device row/boundary geometry of THIS rank's [C, _CHUNK] shard.
+
+    Per-leaf metadata is applied as a ROW-CONSTANT broadcast (the [C]
+    per-row value fuses into the consumer for free) plus a tiny
+    [n_leaves, _CHUNK] scatter-add that fixes the <= n_leaves rows a leaf
+    boundary lands in. The round-2 design instead materialized full
+    [C, _CHUNK] per-element metadata (zeros buffer + scatter + add pass,
+    three times per step): measured ~2.8 ms of zeros writes plus the
+    consumers' extra reads at flagship scale (docs/PERF.md). Because
+    boundary corrections are additive deltas (`.at[rows].add`), several
+    boundaries landing in ONE row (many sub-8192 bias/LN leaves) telescope
+    correctly.
+    """
+
+    seg_row: jax.Array  # [C] leaf index of each row's first element
+    rows_b: jax.Array  # [n] in-bounds row of each boundary (clamped)
+    maskj: jax.Array  # [n, _CHUNK] f32: 1.0 at columns past the boundary
+    valid: jax.Array  # [n] f32: 1.0 iff the boundary splits a row here
+
+
+def _row_plan(ends: jax.Array, start: jax.Array, C: int) -> _RowPlan:
     K = _CHUNK
-    n = ends.shape[0]
-    d = vals[1:] - vals[:-1]  # [n] value delta when crossing ends[k]
     rows_idx = start + jax.lax.iota(jnp.int32, C) * K
-    # exact row-base values: integer leaf index per row (compare-sum) + a
-    # [C]-sized gather from the tiny [n+1] table — summing the f32 deltas
-    # across up to n leaves instead accumulates ~n-ulp cancellation error
-    # (measured 5e-5 rel at 300 leaves, outside the pinned 1e-5 rtol)
+    # integer leaf index per row via compare-sum over the tiny [n] ends —
+    # exact (no f32 delta accumulation across ~300 leaves)
     seg_row = jnp.sum(
         (rows_idx[:, None] >= ends[None, :]).astype(jnp.int32), axis=1
     )  # [C]
-    row0 = vals[seg_row]  # [C] value at each row's first element
     b_rel = ends - start
     p = jnp.clip(b_rel, 0, C * K)
-    # a boundary at a row START splits nothing — the row's base value is
+    # a boundary at a row START splits nothing — that row's base value is
     # already the new leaf's (rows_idx >= ends counted it); only boundaries
-    # strictly inside a row need a correction
+    # strictly inside a row need the correction
     valid = (b_rel > 0) & (b_rel < C * K) & (p % K > 0)
-    rows_b = jnp.where(valid, p // K, C)
-    off = jnp.where(valid, b_rel - rows_b * K, 0)
-    corr_rows = d[:, None] * (
+    rows_b = jnp.minimum(p // K, C - 1)
+    off = p - rows_b * K
+    maskj = (
         jax.lax.iota(jnp.int32, K)[None, :] >= off[:, None]
     ).astype(jnp.float32)  # [n, K]
-    corr = jnp.zeros((C + 1, K), jnp.float32).at[rows_b].add(corr_rows)[:C]
-    return row0[:, None] + corr
+    return _RowPlan(seg_row, rows_b, maskj, valid.astype(jnp.float32))
 
 
-def _leaf_sq_sums(g2: jax.Array, ends: jax.Array, start: jax.Array) -> jax.Array:
+def _apply_leaf_mul(x: jax.Array, vals: jax.Array, rp: _RowPlan) -> jax.Array:
+    """``x * vals[leaf_of_element]`` for a [C, _CHUNK] shard view: one fused
+    broadcast multiply by the per-row value + a [n, _CHUNK] scatter-add
+    fixing boundary rows with the delta ``(vals[k+1]-vals[k]) * x``. Exact
+    up to 1 ulp vs expanding the metadata per element ((a+d)*x vs
+    a*x + d*x); the zero1≡replicated equivalence is pinned at 1e-5 rtol."""
+    d = (vals[1:] - vals[:-1]) * rp.valid  # [n] delta crossing ends[k]
+    fix = x[rp.rows_b] * d[:, None] * rp.maskj  # [n, K]
+    return (x * vals[rp.seg_row][:, None]).at[rp.rows_b].add(fix)
+
+
+def _leaf_sq_sums(g2: jax.Array, rp: _RowPlan) -> jax.Array:
     """Rank-local per-leaf sums of ``g2`` ([C, _CHUNK] view of the shard).
 
     Each row's sum is attributed to the leaf containing its FIRST element
@@ -171,31 +197,14 @@ def _leaf_sq_sums(g2: jax.Array, ends: jax.Array, start: jax.Array) -> jax.Array
     cancellation — 2.4e-5 rel on the resulting clip coefficients, outside
     the pinned 1e-5 equivalence rtol). Returns [n_leaves + 1] (last entry
     = the flat-padding tail)."""
-    C, K = g2.shape
-    n = ends.shape[0]
+    n = rp.maskj.shape[0]
     row_sum = jnp.sum(g2, axis=1)  # [C]
-    rows_idx = start + jax.lax.iota(jnp.int32, C) * K
-    seg_row = jnp.sum(
-        (rows_idx[:, None] >= ends[None, :]).astype(jnp.int32), axis=1
-    )  # [C] leaf of each row's first element
-    base = jax.ops.segment_sum(row_sum, seg_row, num_segments=n + 1)
-
-    b_rel = ends - start
-    p = jnp.clip(b_rel, 0, C * K)
-    # boundaries at a row start split nothing (that row's base already
-    # belongs to leaf j+1)
-    valid = (b_rel > 0) & (b_rel < C * K) & (p % K > 0)
-    rows_b = jnp.minimum(p // K, C - 1)
-    off = p - rows_b * K
-    head = jnp.sum(
-        g2[rows_b] * (jax.lax.iota(jnp.int32, K)[None, :] < off[:, None]),
-        axis=1,
-    )  # [n] sum of the boundary row BEFORE the boundary
-    tails = jnp.where(valid, row_sum[rows_b] - head, 0.0)
+    base = jax.ops.segment_sum(row_sum, rp.seg_row, num_segments=n + 1)
+    # sum of each boundary row PAST the boundary, summed directly (not
+    # row_sum minus head — no cancellation)
+    tails = rp.valid * jnp.sum(g2[rp.rows_b] * rp.maskj, axis=1)
     # move each boundary's tail from leaf j to leaf j+1 (index-aligned adds)
-    return (
-        base.at[:n].add(-tails).at[1:].add(tails)
-    )
+    return base.at[:n].add(-tails).at[1:].add(tails)
 
 
 def _flatten(tree, total_pad: int) -> jax.Array:
@@ -252,8 +261,8 @@ def zero1_bert_adam(
         plan = plan_for(params)
         return Zero1State(
             step=jnp.zeros([], jnp.int32),
-            m=jnp.zeros((plan.total_pad,), sdt),
-            v=jnp.zeros((plan.total_pad,), sdt),
+            m=jnp.zeros((plan.total_pad // _CHUNK, _CHUNK), sdt),
+            v=jnp.zeros((plan.total_pad // _CHUNK, _CHUNK), sdt),
         )
 
     def update_fn(grads, state, params):
@@ -262,37 +271,38 @@ def zero1_bert_adam(
         plan = plan_for(params)
         C = plan.shard // _CHUNK
 
-        # Reduce-scatter the mean gradient: each device gets its shard.
+        # Reduce-scatter the mean gradient: each device gets its shard,
+        # viewed [C, _CHUNK] (ONE shard-sized relayout in; the moments are
+        # already stored 2-D so they need none).
         flat_g = _flatten(grads, plan.total_pad)
         g = jax.lax.psum_scatter(flat_g, DP_AXIS, tiled=True) / dp
+        g = g.reshape(C, _CHUNK)
 
         rank = jax.lax.axis_index(DP_AXIS)
         start = rank * plan.shard
         ends = jnp.asarray(plan.leaf_ends)  # [n_leaves], tiny constant
+        rp = _row_plan(ends, start, C)
 
         # Global-norm clip (mirrors optax.clip_by_global_norm: scale by
         # clip / max(norm, clip)).
-        g2 = (g * g).reshape(C, _CHUNK)
         if global_clip_norm > 0:
-            total_sq = jax.lax.psum(jnp.sum(g2), DP_AXIS)
+            total_sq = jax.lax.psum(jnp.sum(g * g), DP_AXIS)
             g_norm = jnp.sqrt(total_sq)
             g = g * (global_clip_norm / jnp.maximum(g_norm, global_clip_norm))
-            g2 = (g * g).reshape(C, _CHUNK)
 
         # Reference per-TENSOR clip (modules/optimization.py:134-136):
         # full-leaf norms from shard-local row/boundary sums + one psum
         # (see _Plan docstring for why not segment_sum + gather).
         if max_grad_norm > 0:
-            leaf_sq = jax.lax.psum(_leaf_sq_sums(g2, ends, start), DP_AXIS)
+            leaf_sq = jax.lax.psum(_leaf_sq_sums(g * g, rp), DP_AXIS)
             # the tail-move arithmetic can round an (exactly zero) leaf sum
             # a few ulps NEGATIVE on TPU — observed -1.8e-12 on the flat
             # padding tail at flagship scale — and sqrt(<0)=NaN would then
-            # spread through _expand_leaf_vals' boundary deltas; sums of
-            # squares are >= 0 by construction, so clamp before the sqrt
+            # spread through the boundary-fix deltas; sums of squares are
+            # >= 0 by construction, so clamp before the sqrt
             leaf_sq = jnp.maximum(leaf_sq, 0.0)
             coef = jnp.minimum(max_grad_norm / (jnp.sqrt(leaf_sq) + 1e-6), 1.0)
-            coef_el = _expand_leaf_vals(coef, ends, start, C)
-            g = (g.reshape(C, _CHUNK) * coef_el).reshape(plan.shard)
+            g = _apply_leaf_mul(g, coef, rp)
 
         # Sharded moments: math in fp32, then rounded to ``state_dtype``
         # BEFORE the update is computed from them — the replicated
@@ -309,21 +319,30 @@ def zero1_bert_adam(
         else:
             lr_t = jnp.asarray(lr, jnp.float32)
 
-        upd = m.astype(jnp.float32) / (jnp.sqrt(v.astype(jnp.float32)) + eps)
+        ahat = m.astype(jnp.float32) / (jnp.sqrt(v.astype(jnp.float32)) + eps)
+        # Final update = -(lr_t*smul) * (ahat + wd*dmask*p)
+        #              = a[leaf]*ahat + b[leaf]*p
+        # with a = -lr_t*smul and b = -lr_t*wd*smul*dmask — ONE fused
+        # row-broadcast pass over the shard plus the boundary-row fixes.
+        a_vals = -lr_t * jnp.asarray(plan.leaf_scale)
+        da = (a_vals[1:] - a_vals[:-1]) * rp.valid
+        upd = a_vals[rp.seg_row][:, None] * ahat
+        fix = da[:, None] * rp.maskj * ahat[rp.rows_b]
         if weight_decay > 0.0:
             flat_p = _flatten(params, plan.total_pad)
             p = jax.lax.dynamic_slice(flat_p, (start,), (plan.shard,))
-            dmask = _expand_leaf_vals(
-                jnp.asarray(plan.leaf_decay), ends, start, C
-            ).reshape(plan.shard)
-            upd = upd + weight_decay * dmask * p
-        smul = _expand_leaf_vals(
-            jnp.asarray(plan.leaf_scale), ends, start, C
-        ).reshape(plan.shard)
-        upd = -(lr_t * smul) * upd
+            p = p.reshape(C, _CHUNK)
+            b_vals = weight_decay * a_vals * jnp.asarray(plan.leaf_decay)
+            db = (b_vals[1:] - b_vals[:-1]) * rp.valid
+            upd = upd + b_vals[rp.seg_row][:, None] * p
+            fix = fix + db[:, None] * rp.maskj * p[rp.rows_b]
+        upd = upd.at[rp.rows_b].add(fix)
 
-        # Re-assemble the full update (the only gather in the step).
-        upd_flat = jax.lax.all_gather(upd, DP_AXIS, tiled=True)
+        # Re-assemble the full update (the only gather in the step; one
+        # shard-sized relayout out).
+        upd_flat = jax.lax.all_gather(
+            upd.reshape(plan.shard), DP_AXIS, tiled=True
+        )
         updates = _unflatten(upd_flat, params, plan)
         return updates, Zero1State(step=state.step + 1, m=m, v=v)
 
@@ -342,8 +361,8 @@ def zero1_state_from_replicated(params, chain_state, dp: int,
     sdt = jnp.dtype(state_dtype) if state_dtype else jnp.float32
     return Zero1State(
         step=jnp.asarray(adam.step, jnp.int32),
-        m=_flatten(adam.m, plan.total_pad).astype(sdt),
-        v=_flatten(adam.v, plan.total_pad).astype(sdt),
+        m=_flatten(adam.m, plan.total_pad).astype(sdt).reshape(-1, _CHUNK),
+        v=_flatten(adam.v, plan.total_pad).astype(sdt).reshape(-1, _CHUNK),
     )
 
 
@@ -357,7 +376,8 @@ def replicated_state_from_zero1(params, z_state: Zero1State,
     plan = _build_plan(params, 1, None, None)
     sdt = jnp.dtype(state_dtype) if state_dtype else None
 
-    def un(flat):
+    def un(chunked):
+        flat = chunked.reshape(-1)
         tree = _unflatten(flat.astype(jnp.float32), params, plan)
         return jax.tree.map(
             lambda l, p: l.astype(sdt or p.dtype), tree, params
