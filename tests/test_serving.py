@@ -226,3 +226,131 @@ def test_caption_service_resolved_fused_decode(rng, tokenizer, monkeypatch):
     assert svc_f.fused_decode is True
     vids = _videos(rng, 2, cfg.video_dim)
     assert svc.caption(vids) == svc_f.caption(vids)
+
+
+# ---------------------------------------------------------------- #
+# Request coalescing (serving/coalesce.py)
+
+
+class _StubService:
+    """CaptionService stand-in: deterministic per-clip 'captions' keyed on
+    the clip's first value, records the clip-count of every decode call."""
+
+    def __init__(self, batch_size=4, fail_on=None, block_first=None):
+        self.batch_size = batch_size
+        self.calls = []
+        self.fail_on = fail_on
+        self.block_first = block_first  # threading.Event: gate 1st call
+
+    def caption(self, videos, transcripts=None):
+        if self.block_first is not None:
+            ev, self.block_first = self.block_first, None
+            ev.wait(10)
+        self.calls.append(len(videos))
+        if transcripts is None:
+            transcripts = [""] * len(videos)
+        out = []
+        for v, t in zip(videos, transcripts):
+            key = float(np.asarray(v)[0, 0])
+            if self.fail_on is not None and key == self.fail_on:
+                raise ValueError(f"bad clip {key}")
+            out.append(f"cap:{key:.3f}:{t}")
+        return out
+
+
+def _clip(val, t=3, dim=4):
+    v = np.zeros((t, dim), np.float32)
+    v[0, 0] = val
+    return v
+
+
+def test_coalescer_merges_concurrent_requests():
+    """Requests submitted while the device is busy are merged into one
+    decode; results are routed back per request in order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from univl_tpu.serving.coalesce import CoalescingCaptionService
+
+    gate = __import__("threading").Event()
+    stub = _StubService(batch_size=8, block_first=gate)
+    svc = CoalescingCaptionService(stub)
+    try:
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            # first request occupies the 'device' (blocked on the gate)
+            f0 = ex.submit(svc.caption, [_clip(0.0)])
+            while stub.block_first is not None:  # worker picked it up
+                __import__("time").sleep(0.01)
+            # five more queue up behind it
+            fs = [ex.submit(svc.caption, [_clip(float(i))])
+                  for i in range(1, 6)]
+            __import__("time").sleep(0.1)  # let them all enqueue
+            gate.set()
+            assert f0.result(10) == ["cap:0.000:"]
+            for i, f in enumerate(fs, start=1):
+                assert f.result(10) == [f"cap:{i:.3f}:"]
+    finally:
+        svc.close()
+    # call 1: the blocked single; call 2: the five queued merged into one
+    assert stub.calls[0] == 1
+    assert sum(stub.calls) == 6
+    assert len(stub.calls) <= 3  # 5 queued clips need at most 2 more calls
+
+
+def test_coalescer_oversize_and_transcripts():
+    """A request that would overflow the group is carried into the next
+    decode in arrival order; mixed with/without-transcript requests are
+    exact (transcript '' == no transcript)."""
+    from univl_tpu.serving.coalesce import CoalescingCaptionService
+
+    stub = _StubService(batch_size=4)
+    svc = CoalescingCaptionService(stub)
+    try:
+        # oversized single request: runs alone, service chunks internally
+        out = svc.caption([_clip(float(i)) for i in range(6)])
+        assert out == [f"cap:{float(i):.3f}:" for i in range(6)]
+        # transcripts pass through per clip
+        out = svc.caption([_clip(9.0)], transcripts=["mix the batter"])
+        assert out == ["cap:9.000:mix the batter"]
+    finally:
+        svc.close()
+
+
+def test_coalescer_error_propagates_to_waiters():
+    from univl_tpu.serving.coalesce import CoalescingCaptionService
+
+    stub = _StubService(batch_size=4, fail_on=13.0)
+    svc = CoalescingCaptionService(stub)
+    try:
+        with pytest.raises(ValueError, match="bad clip"):
+            svc.caption([_clip(13.0)])
+        # the service keeps serving after a failed group
+        assert svc.caption([_clip(1.0)]) == ["cap:1.000:"]
+    finally:
+        svc.close()
+
+
+def test_coalescer_matches_direct_service(rng, tokenizer):
+    """Real model: coalesced captions are identical to direct ones —
+    grouping only changes batch PACKING, and per-row decode results are
+    independent of the other rows (pinned at the kernel level by
+    tests/test_fast_decoder.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from univl_tpu.serving.coalesce import CoalescingCaptionService
+
+    cfg, model, params = _model_and_params(
+        rng=rng, tokenizer=tokenizer, stage_two=True, task_type="caption"
+    )
+    direct = CaptionService(model, params, tokenizer, beam_size=2,
+                            max_len=8, batch_size=4)
+    vids = _videos(rng, 6, cfg.video_dim)
+    want = direct.caption(vids)
+
+    svc = CoalescingCaptionService(direct)
+    try:
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            futs = [ex.submit(svc.caption, [v]) for v in vids]
+            got = [f.result(120)[0] for f in futs]
+    finally:
+        svc.close()
+    assert got == want

@@ -45,6 +45,15 @@ def add_serve_args(p):
                         "--train_sim_after_cross)")
     p.add_argument("--beam_size", type=int, default=5)
     p.add_argument("--serve_batch_size", type=int, default=16)
+    import argparse
+
+    p.add_argument("--coalesce_captions", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="merge concurrent /v1/caption requests into shared "
+                        "decode batches (serving/coalesce.py; per-clip "
+                        "results unchanged, up to batch_size x concurrent "
+                        "throughput). --no-coalesce_captions serves each "
+                        "request as its own padded batch")
     return p
 
 
@@ -156,6 +165,14 @@ def build_services(args):
 def make_server(args):
     index, caption, cfg = build_services(args)
     lock = threading.Lock()  # one request on the device at a time
+    coalescer = None
+    if caption is not None and getattr(args, "coalesce_captions", True):
+        from univl_tpu.serving import CoalescingCaptionService
+
+        # The coalescer's dispatcher owns caption-side device access (it
+        # takes `lock` itself around each merged decode); handler threads
+        # enqueue and wait instead of serializing one request at a time.
+        coalescer = CoalescingCaptionService(caption, device_lock=lock)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet; get_logger owns stdout
@@ -204,10 +221,15 @@ def make_server(args):
                     self._reply(200, {"path": payload["path"]})
                 elif self.path == "/v1/caption" and caption is not None:
                     vids = _decode_videos(payload, cfg.video_dim)
-                    with lock:
-                        caps = caption.caption(
+                    if coalescer is not None:
+                        caps = coalescer.caption(
                             vids, transcripts=payload.get("transcripts")
                         )
+                    else:
+                        with lock:
+                            caps = caption.caption(
+                                vids, transcripts=payload.get("transcripts")
+                            )
                     self._reply(200, {"captions": caps})
                 else:
                     self._reply(404, {"error": f"no handler for {self.path} "
@@ -215,7 +237,9 @@ def make_server(args):
             except Exception as e:  # surface errors as JSON, keep serving
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
-    return ThreadingHTTPServer((args.host, args.port), Handler)
+    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    server.caption_coalescer = coalescer  # for clean shutdown in tests
+    return server
 
 
 def main(argv=None, serve_forever: bool = True):
