@@ -298,3 +298,48 @@ def test_partial_restore_stage1_to_stage2(tmp_path, rng):
     assert any(m == "decoder" or m.startswith("decoder/") for m in missing)
     out = m2.apply({"params": merged}, b2, deterministic=True)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_restore_adapts_old_1d_zero1_moments(tmp_path):
+    """Pre-v2 --zero1 checkpoints stored m/v as ONE flat 1-D [T_pad]
+    vector; v2 stores [T_pad // 8192, 8192] (train/zero1.py). restore must
+    upgrade the old layout transparently, like it adapts scan layouts.
+    Padding in both layouts is zero-moment (pad grads are zero), so the
+    upgrade is prefix-copy + zero-fill."""
+    import numpy as np
+    from univl_tpu.checkpoint.io import restore_checkpoint, save_checkpoint
+    from univl_tpu.train.zero1 import _CHUNK, Zero1State
+
+    total = 3 * _CHUNK + 100  # true param count, not a multiple of _CHUNK
+    moments = np.arange(total, dtype=np.float32)
+    old_pad = total + 412  # old 1-D padding granularity (whatever it was)
+    old_flat = np.zeros(old_pad, np.float32)
+    old_flat[:total] = moments
+    old = Zero1State(
+        step=np.asarray(7, np.int32), m=old_flat, v=old_flat * 2.0
+    )
+    path = str(tmp_path / "old_zero1.msgpack")
+    save_checkpoint(path, {"opt": old})
+
+    rows = -(-total // _CHUNK) + 2  # new padding differs from the old one
+    tmpl = Zero1State(
+        step=np.asarray(0, np.int32),
+        m=np.zeros((rows, _CHUNK), np.float32),
+        v=np.zeros((rows, _CHUNK), np.float32),
+    )
+    restored, _ = restore_checkpoint(path, {"opt": tmpl})
+    got = restored["opt"]
+    assert np.asarray(got.m).shape == (rows, _CHUNK)
+    np.testing.assert_array_equal(
+        np.asarray(got.m).reshape(-1)[:total], moments
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.v).reshape(-1)[:total], moments * 2.0
+    )
+    assert np.all(np.asarray(got.m).reshape(-1)[total:] == 0.0)
+    assert int(got.step) == 7
+
+    # current-layout checkpoints still roundtrip untouched
+    save_checkpoint(path, {"opt": got})
+    again, _ = restore_checkpoint(path, {"opt": tmpl})
+    np.testing.assert_array_equal(np.asarray(again["opt"].m), np.asarray(got.m))

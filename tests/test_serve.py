@@ -290,3 +290,33 @@ def test_serving_fused_decode_default_resolution():
     # explicit argument wins in both directions
     assert resolve_serving_fused_decode(False, "tpu", "1") is False
     assert resolve_serving_fused_decode(True, "cpu", "") is True
+    # env var is three-state: '0'/'false'/'off'/'no' DISABLE, even on TPU
+    # (an operator exporting UNIVL_TPU_FUSED_DECODE=0 means off)
+    for off in ("0", "false", "off", "no", "FALSE", " Off "):
+        assert resolve_serving_fused_decode(None, "tpu", off) is False
+    assert resolve_serving_fused_decode(None, "cpu", "interpret") is True
+
+
+def test_serve_feature_paths_validated(tmp_path):
+    """The feature_paths branch of _decode_videos must apply the same
+    [T, video_dim] validation as inline videos — a wrong-shaped .npy file
+    must fail ITS request, not poison a coalesced decode batch (the
+    coalescer relies on handler-side validation before enqueue)."""
+    import numpy as np
+    import pytest
+
+    from univl_tpu.cli.serve import _decode_videos
+
+    good = tmp_path / "good.npy"
+    np.save(good, np.zeros((4, 8), np.float32))
+    out = _decode_videos({"feature_paths": [str(good)]}, video_dim=8)
+    assert out[0].shape == (4, 8)
+
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.zeros((4, 1), np.float32))  # would broadcast silently
+    with pytest.raises(ValueError):
+        _decode_videos({"feature_paths": [str(bad)]}, video_dim=8)
+    bad3d = tmp_path / "bad3d.npy"
+    np.save(bad3d, np.zeros((2, 4, 8), np.float32))
+    with pytest.raises(ValueError):
+        _decode_videos({"feature_paths": [str(bad3d)]}, video_dim=8)

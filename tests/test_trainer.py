@@ -279,3 +279,24 @@ def test_stage_two_pretrain_step_on_mesh(rng):
                 # (a sign bug would stay finite and even descend)
                 assert float(v) > 0, (k, v)
     assert losses[-1] < losses[0], losses
+
+
+def test_xla_options_from_env_parsing(monkeypatch):
+    """UNIVL_TPU_XLA_OPTIONS: trailing/doubled commas are tolerated,
+    whitespace-only values are rejected loudly (a typo must not no-op)."""
+    import pytest
+
+    from univl_tpu.train.trainer import xla_options_from_env
+
+    monkeypatch.setenv("UNIVL_TPU_XLA_OPTIONS", "a=1,b=two,")
+    assert xla_options_from_env() == {"a": "1", "b": "two"}
+    monkeypatch.setenv("UNIVL_TPU_XLA_OPTIONS", " , ")
+    assert xla_options_from_env() is None
+    monkeypatch.setenv("UNIVL_TPU_XLA_OPTIONS", "opt= ")
+    with pytest.raises(ValueError, match="bad entry"):
+        xla_options_from_env()
+    monkeypatch.setenv("UNIVL_TPU_XLA_OPTIONS", "=v")
+    with pytest.raises(ValueError, match="bad entry"):
+        xla_options_from_env()
+    monkeypatch.delenv("UNIVL_TPU_XLA_OPTIONS")
+    assert xla_options_from_env() is None

@@ -130,13 +130,47 @@ def _target_is_scan(like: Any) -> bool | None:
     return None
 
 
+def _adapt_zero1_moments(raw: Any, like: Any) -> Any:
+    """Upgrade pre-v2 ZeRO-1 checkpoints: m/v moments were stored as ONE
+    flat 1-D [T_pad] vector; v2 stores them [T_pad // 8192, 8192]
+    (train/zero1.py Zero1State). Both pad with zeros past the true param
+    total and the moments of padding stay zero (their gradient is zero),
+    so conversion is copy-the-common-prefix + zero-fill. Walks any state
+    tree and fixes each {step, m, v} node whose checkpoint moments are 1-D
+    while the template's are 2-D."""
+    if not (isinstance(raw, dict) and isinstance(like, dict)):
+        return raw
+    if set(raw.keys()) == {"step", "m", "v"} and set(like.keys()) == {"step", "m", "v"}:
+        out = dict(raw)
+        for k in ("m", "v"):
+            src, tgt = raw[k], like[k]
+            if (
+                getattr(src, "ndim", None) == 1
+                and getattr(tgt, "ndim", None) == 2
+            ):
+                flat = np.asarray(src)
+                rows, width = tgt.shape
+                new = np.zeros(rows * width, flat.dtype)
+                n = min(new.size, flat.size)
+                new[:n] = flat[:n]
+                out[k] = new.reshape(rows, width)
+        return out
+    return {
+        k: _adapt_zero1_moments(v, like[k]) if k in like else v
+        for k, v in raw.items()
+    }
+
+
 def adapt_layout(params: Dict, like: Dict) -> Dict:
     """Convert `params`' towers to match the layout used by `like`.
 
     `like` is typically the freshly-initialized model params (or an
     eval_shape of them); it may also be a full train-state tree. Returns
     `params` unchanged when `like` contains no tower or layouts match.
+    Also upgrades pre-v2 1-D ZeRO-1 moment vectors to the current chunked
+    2-D layout (see _adapt_zero1_moments).
     """
+    params = _adapt_zero1_moments(params, like)
     target_scan = _target_is_scan(like)
     if target_scan is None:
         return params

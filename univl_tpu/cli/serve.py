@@ -69,9 +69,13 @@ def _tree_union(base: dict, extra: dict) -> dict:
 
 
 def _decode_videos(payload, video_dim: int):
+    # Both branches validate [T, video_dim] BEFORE returning: the caption
+    # coalescer (serving/coalesce.py) relies on handler-side validation so a
+    # bad request fails alone instead of poisoning a merged decode batch.
     if "feature_paths" in payload:
-        return [np.load(p).astype(np.float32) for p in payload["feature_paths"]]
-    vids = [np.asarray(v, np.float32) for v in payload["videos"]]
+        vids = [np.load(p).astype(np.float32) for p in payload["feature_paths"]]
+    else:
+        vids = [np.asarray(v, np.float32) for v in payload["videos"]]
     for v in vids:
         if v.ndim != 2 or v.shape[1] != video_dim:
             raise ValueError(f"video must be [T, {video_dim}], got {v.shape}")

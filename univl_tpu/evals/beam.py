@@ -32,6 +32,17 @@ from univl_tpu.models.univl import UniVL
 NEG_INF = -1e18
 
 
+def fused_decode_env_state(val: str | None) -> bool | None:
+    """Three-state UNIVL_TPU_FUSED_DECODE parse: None (unset/empty) /
+    False ('0', 'false', 'off', 'no', any case) / True (anything else).
+    An operator exporting UNIVL_TPU_FUSED_DECODE=0 must DISABLE the fused
+    kernel, not enable it — truthy-on-any-non-empty was a footgun once
+    serving started defaulting fused ON on TPU."""
+    if not val:
+        return None
+    return val.strip().lower() not in ("0", "false", "off", "no")
+
+
 def make_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
                         bos_id: int, eos_id: int, pad_id: int = 0):
     """Returns jitted fn(params, seq, vis, am, vm) -> (tokens [B, max_len],
@@ -139,7 +150,8 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
     (decode ceiling 1.26x, docs/PERF.md). Numerics match the default path
     to f32 tolerance, not bitwise (reduction order), so it is not the
     default. None (default) defers to the UNIVL_TPU_FUSED_DECODE env var
-    (any non-empty value enables it). Off-TPU the kernel runs in Pallas
+    (three-state: unset -> off here; '0'/'false'/'off'/'no' -> off; any
+    other non-empty value enables). Off-TPU the kernel runs in Pallas
     interpret mode, so the option behaves identically everywhere."""
     from univl_tpu.evals.fast_decoder import FastDecoder
 
@@ -149,7 +161,9 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
         "UNIVL_TPU_NO_REORDER_KERNEL"
     )
     if fused_decode is None:
-        fused_decode = bool(os.environ.get("UNIVL_TPU_FUSED_DECODE", ""))
+        fused_decode = bool(
+            fused_decode_env_state(os.environ.get("UNIVL_TPU_FUSED_DECODE", ""))
+        )
     _use_fused_decode = bool(fused_decode)
     # Off-TPU the real kernel cannot lower; run the Pallas interpreter so an
     # explicit fused_decode=True (or the env var) behaves identically

@@ -36,13 +36,20 @@ def resolve_serving_fused_decode(
     (1.26x), bucket-32 floor 30.1 vs 32.0 ms (1.06x) — so it is the
     serving DEFAULT there. Precedence: an explicit argument (e.g.
     --no-fused_decode from cli/serve.py) wins in both directions; then
-    the UNIVL_TPU_FUSED_DECODE env var (enable only); then on-by-default
-    on the TPU backend, off elsewhere (off-TPU the kernel runs in Pallas
-    interpret mode — correct but far too slow to default on).
+    the UNIVL_TPU_FUSED_DECODE env var (three-state: '0'/'false'/'off'/
+    'no' disables, any other non-empty value enables, unset defers); then
+    on-by-default on the TPU backend, off elsewhere (off-TPU the kernel
+    runs in Pallas interpret mode — correct but far too slow to default
+    on).
     """
+    from univl_tpu.evals.beam import fused_decode_env_state
+
     if explicit is not None:
         return bool(explicit)
-    return bool(env) or backend == "tpu"
+    env_state = fused_decode_env_state(env)
+    if env_state is not None:
+        return env_state
+    return backend == "tpu"
 
 
 class CaptionService:

@@ -54,11 +54,16 @@ def xla_options_from_env() -> Dict[str, str] | None:
         return None
     out: Dict[str, str] = {}
     for item in raw.split(","):
+        if not item.strip():  # tolerate trailing/doubled commas
+            continue
         k, _, v = item.partition("=")
-        if not k.strip() or not v:
-            raise ValueError(f"UNIVL_TPU_XLA_OPTIONS: bad entry {item!r}")
+        if not k.strip() or not v.strip():
+            raise ValueError(
+                f"UNIVL_TPU_XLA_OPTIONS: bad entry {item!r} "
+                "(expected comma-separated opt=val pairs)"
+            )
         out[k.strip()] = v.strip()
-    return out
+    return out or None
 
 
 class Trainer:

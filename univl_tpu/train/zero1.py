@@ -307,9 +307,11 @@ def zero1_bert_adam(
         # Sharded moments: math in fp32, then rounded to ``state_dtype``
         # BEFORE the update is computed from them — the replicated
         # bert_adam stores first and updates from the stored (rounded)
-        # moments (optimization.py update_fn), and matching that keeps
-        # --zero1 bit-equivalent to the replicated chain for any
-        # state_dtype, including across checkpoint restores.
+        # moments (optimization.py update_fn). Matching that keeps --zero1
+        # equivalent to the replicated chain up to fp32 reduction-order
+        # tolerance (1e-5 rtol, pinned in tests/test_zero1.py; the
+        # boundary-fix algebra in _apply_leaf_mul is (a+d)*x vs a*x+d*x,
+        # ~1 ulp), including across checkpoint restores.
         m = (b1 * state.m.astype(jnp.float32) + (1 - b1) * g).astype(sdt)
         v = (b2 * state.v.astype(jnp.float32) + (1 - b2) * g * g).astype(sdt)
 
