@@ -110,3 +110,40 @@ def test_transformer_layer_numpy_oracle(rng):
         p["output"]["ln"]["bias"],
     )
     np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_qkv_matches_separate(rng):
+    """fused_qkv concatenates the q/k/v kernels into ONE GEMM at apply
+    time; same params, same outputs (CPU f32: exact — columns of a matmul
+    are independent dot products). Covers self-attention AND the
+    cross-attention (q vs fused k/v) branch."""
+    import numpy.testing as npt
+
+    from univl_tpu.nn.layers import MultiHeadAttention, additive_mask_bias
+
+    B, L, Lk, H, nh = 3, 10, 7, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, L, H)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(B, Lk, H)), jnp.float32)
+    mask = jnp.ones((B, L), jnp.int32)
+    kmask = jnp.ones((B, Lk), jnp.int32)
+
+    sep = MultiHeadAttention(num_heads=nh, head_dim=H // nh, fused_qkv=False)
+    fus = MultiHeadAttention(num_heads=nh, head_dim=H // nh, fused_qkv=True)
+
+    # self-attention
+    bias = additive_mask_bias(mask)
+    p = sep.init(jax.random.key(0), x, None, bias)
+    pf = fus.init(jax.random.key(0), x, None, bias)
+    assert jax.tree.structure(p) == jax.tree.structure(pf)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(pf)):
+        npt.assert_array_equal(np.asarray(a), np.asarray(b))  # same init rng
+    y0 = sep.apply(p, x, None, bias)
+    y1 = fus.apply(p, x, None, bias)
+    npt.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=2e-6, atol=2e-6)
+
+    # cross-attention (separate q; fused k/v)
+    xbias = additive_mask_bias(kmask)
+    p = sep.init(jax.random.key(1), x, kv, xbias)
+    y0 = sep.apply(p, x, kv, xbias)
+    y1 = fus.apply(p, x, kv, xbias)
+    npt.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=2e-6, atol=2e-6)

@@ -155,6 +155,14 @@ class UniVLConfig:
     # bits then come from the TPU PRNG, like use_train_pallas)
     # (docs/PERF.md).
     use_fused_ffn: object = False
+    # Issue each encoder layer's q/k/v projections as ONE [768, 2304] GEMM
+    # (kernel concat at apply time; param tree unchanged — see
+    # nn/layers.py:MultiHeadAttention). The reference runs three separate
+    # [768,768] Linears (module_bert.py:149-197) which the MFU accounting
+    # profiled at ~60% MXU each. Encoder towers only; the caption decoder
+    # keeps separate projections (the KV-cache fast decoder's bitwise
+    # parity contract reads them individually).
+    fused_qkv: bool = False
     remat: bool = False  # jax.checkpoint on encoder layers
     # Roll the tower layers into one nn.scan (stacked params, one traced
     # layer): cuts trace+compile time for deep towers at identical math.

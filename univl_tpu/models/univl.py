@@ -144,6 +144,7 @@ class UniVL(nn.Module):
             use_pallas=c.use_pallas,
             use_train_pallas=c.use_train_pallas,
             use_fused_ffn=c.use_fused_ffn,
+            fused_qkv=c.fused_qkv,
             remat=c.remat,
             scan_layers=c.scan_layers,
             seq_shard=c.sequence_parallel,

@@ -160,6 +160,16 @@ class MultiHeadAttention(nn.Module):
     # u32 dropout bits never exist in HBM. "auto" = only at B*Lk >= 16384
     # (the pair-expanded FT-Align regime where that traffic dominates).
     use_train_pallas: object = False
+    # Issue q/k/v as ONE [H, 3H] GEMM (self-attn; [H, 2H] k/v GEMM for
+    # cross-attn) by concatenating the kernels at apply time. The reference
+    # runs three separate Linear projections (module_bert.py:149-197); at
+    # UniVL's [rows,768]x[768,768] shapes each small GEMM runs at ~60% MXU
+    # (docs/PERF.md MFU accounting), so batching the N dimension 3x is the
+    # standard fix. Param tree is UNCHANGED (query/key/value declared
+    # individually — checkpoint contract intact); numerics are per-output-
+    # column identical math, but XLA may retile, so equality is tolerance-
+    # level, not bitwise.
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(
@@ -172,9 +182,30 @@ class MultiHeadAttention(nn.Module):
         if kv_in is None:
             kv_in = q_in
         all_head = self.num_heads * self.head_dim
-        q = _dense(all_head, self.initializer_range, "query", self.dtype)(q_in)
-        k = _dense(all_head, self.initializer_range, "key", self.dtype)(kv_in)
-        v = _dense(all_head, self.initializer_range, "value", self.dtype)(kv_in)
+        if self.fused_qkv:
+            wq, bq = _LinearParams(
+                q_in.shape[-1], all_head, self.initializer_range, name="query"
+            )()
+            wk, bk = _LinearParams(
+                kv_in.shape[-1], all_head, self.initializer_range, name="key"
+            )()
+            wv, bv = _LinearParams(
+                kv_in.shape[-1], all_head, self.initializer_range, name="value"
+            )()
+            dt = self.dtype
+            if kv_in is q_in:
+                w = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
+                b = jnp.concatenate([bq, bk, bv]).astype(dt)
+                q, k, v = jnp.split(jnp.dot(q_in.astype(dt), w) + b, 3, axis=-1)
+            else:
+                q = jnp.dot(q_in.astype(dt), wq.astype(dt)) + bq.astype(dt)
+                wkv = jnp.concatenate([wk, wv], axis=1).astype(dt)
+                bkv = jnp.concatenate([bk, bv]).astype(dt)
+                k, v = jnp.split(jnp.dot(kv_in.astype(dt), wkv) + bkv, 2, axis=-1)
+        else:
+            q = _dense(all_head, self.initializer_range, "query", self.dtype)(q_in)
+            k = _dense(all_head, self.initializer_range, "key", self.dtype)(kv_in)
+            v = _dense(all_head, self.initializer_range, "value", self.dtype)(kv_in)
 
         key_mask_bias = bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
 
@@ -400,6 +431,7 @@ class TransformerLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: object = False  # False | True | "auto"
     use_train_pallas: object = False  # False | True | "auto" (training attn)
+    fused_qkv: bool = False  # single [H,3H] q/k/v GEMM (see MultiHeadAttention)
     # False | True | "auto": route dense -> GELU -> dense through the fused
     # Pallas kernel (kernels/ffn.py). "auto" fuses only when the flattened
     # row count is large enough for the [N, intermediate] activations to
@@ -444,6 +476,7 @@ class TransformerLayer(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             use_train_pallas=self.use_train_pallas,
+            fused_qkv=self.fused_qkv,
             name="attention",
         )(x, None, bias, deterministic=deterministic)
         rows = x.shape[0] * x.shape[1]
@@ -524,6 +557,7 @@ class TransformerStack(nn.Module):
     use_pallas: object = False  # False | True | "auto"
     use_train_pallas: object = False  # False | True | "auto"
     use_fused_ffn: object = False  # False | True | "auto"
+    fused_qkv: bool = False  # single [H,3H] q/k/v GEMM (see MultiHeadAttention)
     # remat: False | True (full layer) | "dots" (save matmul outputs,
     # recompute elementwise — cheaper than full; helps HBM-bound configs
     # like FT-Align where the saved GELU activations dominate traffic)
@@ -555,6 +589,7 @@ class TransformerStack(nn.Module):
             use_pallas=self.use_pallas,
             use_train_pallas=self.use_train_pallas,
             use_fused_ffn=self.use_fused_ffn,
+            fused_qkv=self.fused_qkv,
             seq_shard=self.seq_shard,
         )
         if self.seq_shard:

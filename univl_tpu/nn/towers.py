@@ -29,7 +29,8 @@ from univl_tpu.nn.layers import (
 
 
 def _stack(cfg, dtype, use_pallas, remat, scan_layers=False, num_layers=None,
-           use_fused_ffn=False, use_train_pallas=False, seq_shard=False):
+           use_fused_ffn=False, use_train_pallas=False, seq_shard=False,
+           fused_qkv=False):
     return TransformerStack(
         num_layers=num_layers if num_layers is not None else cfg.num_hidden_layers,
         hidden_size=cfg.hidden_size,
@@ -43,6 +44,7 @@ def _stack(cfg, dtype, use_pallas, remat, scan_layers=False, num_layers=None,
         use_pallas=use_pallas,
         use_train_pallas=use_train_pallas,
         use_fused_ffn=use_fused_ffn,
+        fused_qkv=fused_qkv,
         remat=remat,
         scan_layers=scan_layers,
         seq_shard=seq_shard,
@@ -64,6 +66,7 @@ class TextEncoder(nn.Module):
     use_pallas: object = False  # False | True | "auto"
     use_train_pallas: object = False  # False | True | "auto"
     use_fused_ffn: object = False  # False | True | "auto"
+    fused_qkv: bool = False  # single q/k/v GEMM (nn/layers.py MultiHeadAttention)
     remat: bool = False
     scan_layers: bool = False
     seq_shard: bool = False  # sequence parallelism over tp (parallel/sp.py)
@@ -98,7 +101,8 @@ class TextEncoder(nn.Module):
         return _stack(cfg, self.dtype, self.use_pallas, self.remat, self.scan_layers,
                       use_fused_ffn=self.use_fused_ffn,
                       use_train_pallas=self.use_train_pallas,
-                      seq_shard=self.seq_shard)(
+                      seq_shard=self.seq_shard,
+                      fused_qkv=self.fused_qkv)(
             x, bias, deterministic
         )
 
@@ -153,6 +157,7 @@ class VisualEncoder(nn.Module):
     use_pallas: object = False  # False | True | "auto"
     use_train_pallas: object = False  # False | True | "auto"
     use_fused_ffn: object = False  # False | True | "auto"
+    fused_qkv: bool = False  # single q/k/v GEMM (nn/layers.py MultiHeadAttention)
     remat: bool = False
     scan_layers: bool = False
     seq_shard: bool = False  # sequence parallelism over tp (parallel/sp.py)
@@ -183,7 +188,8 @@ class VisualEncoder(nn.Module):
         return _stack(cfg, self.dtype, self.use_pallas, self.remat, self.scan_layers,
                       use_fused_ffn=self.use_fused_ffn,
                       use_train_pallas=self.use_train_pallas,
-                      seq_shard=self.seq_shard)(
+                      seq_shard=self.seq_shard,
+                      fused_qkv=self.fused_qkv)(
             x, bias, deterministic
         )
 
@@ -201,6 +207,7 @@ class CrossEncoder(nn.Module):
     use_pallas: object = False  # False | True | "auto"
     use_train_pallas: object = False  # False | True | "auto"
     use_fused_ffn: object = False  # False | True | "auto"
+    fused_qkv: bool = False  # single q/k/v GEMM (nn/layers.py MultiHeadAttention)
     remat: bool = False
     scan_layers: bool = False
     seq_shard: bool = False  # sequence parallelism over tp (parallel/sp.py)
@@ -238,7 +245,8 @@ class CrossEncoder(nn.Module):
         h = _stack(cfg, self.dtype, self.use_pallas, self.remat, self.scan_layers,
                    use_fused_ffn=self.use_fused_ffn,
                    use_train_pallas=self.use_train_pallas,
-                   seq_shard=self.seq_shard)(
+                   seq_shard=self.seq_shard,
+                   fused_qkv=self.fused_qkv)(
             x, bias, deterministic
         )
         pooled = Pooler(
