@@ -223,3 +223,35 @@ def test_fused_decode_explicit_arg_matches_full_beam(setup, monkeypatch):
     t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("beam,max_len", [(1, 12), (5, 12), (3, 40)])
+def test_fast_beam_fused_vocab_matches_full_beam(setup, beam, max_len):
+    """--fused_vocab (kernels/vocab_topk.py): the vocab-tiled classifier ->
+    top-k kernel must produce the full-prefix beam's hypotheses — same
+    tokens, scores to f32 tolerance. Per-row top-K of score + logp is
+    monotone in the row's logits, so the K*K candidate top_k selects the
+    same beams as the full K*V one."""
+    cfg, model, params, batch, seq, vis, _, _ = setup
+    slow = make_beam_decode_fn(model, beam, max_len, bos_id=2, eos_id=3)
+    fast = make_fast_beam_decode_fn(model, beam, max_len, bos_id=2, eos_id=3,
+                                    fused_vocab=True)
+    t1, s1 = slow(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_vocab_composes_with_fused_decode(setup, monkeypatch):
+    """Both decode kernels on together (the serving default on TPU) must
+    still match the full-prefix beam."""
+    cfg, model, params, batch, seq, vis, _, _ = setup
+    monkeypatch.delenv("UNIVL_TPU_FUSED_DECODE", raising=False)
+    monkeypatch.delenv("UNIVL_TPU_FUSED_VOCAB", raising=False)
+    slow = make_beam_decode_fn(model, 3, 12, bos_id=2, eos_id=3)
+    fast = make_fast_beam_decode_fn(model, 3, 12, bos_id=2, eos_id=3,
+                                    fused_decode=True, fused_vocab=True)
+    t1, s1 = slow(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)

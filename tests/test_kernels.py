@@ -406,3 +406,53 @@ def test_fused_layernorm_grads_match_plain(rng, shape, dtype):
             np.asarray(a, np.float32), np.asarray(b_, np.float32),
             rtol=tol, atol=tol, err_msg=name,
         )
+
+
+class TestVocabTopK:
+    """kernels/vocab_topk.py — vocab-tiled classifier -> top-k + logsumexp
+    (interpret mode: exact f32)."""
+
+    def _oracle(self, h, w, b, k):
+        logits = np.asarray(h, np.float32) @ np.asarray(w, np.float32).T + np.asarray(b)
+        import jax.nn
+
+        logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+        return jax.lax.top_k(logp, k)
+
+    @pytest.mark.parametrize("R,V,k", [(80, 30522, 5), (3, 2048, 5),
+                                       (17, 5000, 8), (8, 130, 1)])
+    def test_matches_log_softmax_topk(self, rng, R, V, k):
+        from univl_tpu.kernels.vocab_topk import classify_topk
+
+        H = 64
+        h = jnp.asarray(rng.normal(size=(R, H)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(V, H)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(V,)), jnp.float32)
+        ov, oi = self._oracle(h, w, b, k)
+        fv, fi = classify_topk(h, w, b, k, interpret=True)
+        np.testing.assert_array_equal(np.asarray(oi), np.asarray(fi))
+        np.testing.assert_allclose(
+            np.asarray(ov), np.asarray(fv), rtol=1e-5, atol=1e-5
+        )
+
+    def test_tie_breaking_matches_lax_top_k(self, rng):
+        """Duplicate vocab rows produce exactly-equal logits; both paths
+        must prefer the LOWER vocab index (lax.top_k semantics) — including
+        ties that span vocab tiles."""
+        from univl_tpu.kernels.vocab_topk import classify_topk
+
+        H, k = 32, 4
+        base = rng.normal(size=(40, H)).astype(np.float32)
+        # tile the same 40 rows across >1 vocab block (block_v=2048 floor:
+        # use V > 2048 so duplicates live in different tiles)
+        w = np.concatenate([base] * 80, axis=0)  # V = 3200
+        b = np.zeros((w.shape[0],), np.float32)
+        h = jnp.asarray(rng.normal(size=(6, H)), jnp.float32)
+        ov, oi = self._oracle(h, jnp.asarray(w), jnp.asarray(b), k)
+        fv, fi = classify_topk(
+            h, jnp.asarray(w), jnp.asarray(b), k, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(oi), np.asarray(fi))
+        np.testing.assert_allclose(
+            np.asarray(ov), np.asarray(fv), rtol=1e-5, atol=1e-5
+        )

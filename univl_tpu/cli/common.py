@@ -201,6 +201,15 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "docs/PERF.md). Unset -> UNIVL_TPU_FUSED_DECODE env "
                         "decides (and the serve driver defaults to ON on "
                         "TPU); --no-fused_decode overrides both")
+    p.add_argument("--fused_vocab", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="beam decode: stream the 30k-vocab tied classifier "
+                        "+ log-softmax + per-row top-K through VMEM tiles "
+                        "(kernels/vocab_topk.py) — the f32 [B*K, V] logits "
+                        "never exist in HBM. Values match the default to "
+                        "f32 tolerance, not bitwise. Unset -> "
+                        "UNIVL_TPU_FUSED_VOCAB env decides; "
+                        "--no-fused_vocab overrides")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_policy", type=str, default="full",
                    choices=["full", "dots"],

@@ -162,6 +162,7 @@ def build_services(args):
             beam_size=args.beam_size,
             batch_size=args.serve_batch_size,
             fused_decode=args.fused_decode,
+            fused_vocab=getattr(args, "fused_vocab", None),
         )
     return index, caption, cfg
 

@@ -80,6 +80,7 @@ def main(argv=None):
             model, {"params": p}, tokenizer,
             beam_size=5, max_len=args.max_words, batch_size=eval_bs,
             fused_decode=args.fused_decode,
+            fused_vocab=getattr(args, "fused_vocab", None),
         )
         hyps, refs = [], []
         b = Batcher(test_ds, eval_bs, shuffle=False, drop_last=False)

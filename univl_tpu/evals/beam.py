@@ -138,7 +138,8 @@ def _cache_buckets(max_len: int, first: int = 32):
 
 def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
                              bos_id: int, eos_id: int, pad_id: int = 0,
-                             fused_decode: bool | None = None):
+                             fused_decode: bool | None = None,
+                             fused_vocab: bool | None = None):
     """KV-cached beam search: O(L) decoder work per hypothesis instead of the
     full-prefix O(L^2) (see univl_tpu/evals/fast_decoder.py). Produces the
     same hypotheses as make_beam_decode_fn (parity-tested).
@@ -152,7 +153,15 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
     default. None (default) defers to the UNIVL_TPU_FUSED_DECODE env var
     (three-state: unset -> off here; '0'/'false'/'off'/'no' -> off; any
     other non-empty value enables). Off-TPU the kernel runs in Pallas
-    interpret mode, so the option behaves identically everywhere."""
+    interpret mode, so the option behaves identically everywhere.
+
+    ``fused_vocab``: opt-in fused classifier->top-k kernel
+    (kernels/vocab_topk.py) — the 30,522-vocab tied-classifier GEMM,
+    log-softmax normalizer, and per-row top-K stream through VMEM vocab
+    tiles; the f32 [B*K, V] logits never exist in HBM and lax.top_k runs
+    over [B, K*K] candidates instead of [B, K*V]. Same opt-in contract as
+    fused_decode (env UNIVL_TPU_FUSED_VOCAB, three-state; interpret mode
+    off-TPU); composes freely with fused_decode."""
     from univl_tpu.evals.fast_decoder import FastDecoder
 
     K = beam_size
@@ -165,10 +174,16 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
             fused_decode_env_state(os.environ.get("UNIVL_TPU_FUSED_DECODE", ""))
         )
     _use_fused_decode = bool(fused_decode)
-    # Off-TPU the real kernel cannot lower; run the Pallas interpreter so an
+    if fused_vocab is None:
+        fused_vocab = bool(
+            fused_decode_env_state(os.environ.get("UNIVL_TPU_FUSED_VOCAB", ""))
+        )
+    _use_fused_vocab = bool(fused_vocab)
+    # Off-TPU the real kernels cannot lower; run the Pallas interpreter so an
     # explicit fused_decode=True (or the env var) behaves identically
     # everywhere (CPU parity tests rely on this).
     _fused_interpret = _use_fused_decode and jax.default_backend() != "tpu"
+    _vocab_interpret = _use_fused_vocab and jax.default_backend() != "tpu"
 
     def decode(params, sequence_output, visual_output, attention_mask, video_mask):
         B = sequence_output.shape[0]
@@ -187,6 +202,18 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
         enc_kv = fd.precompute_enc_kv(cross_rep.astype(cache_dtype))
         buckets = _cache_buckets(max_len)
         cache0 = fd.init_cache(B * K, buckets[0], dtype=cache_dtype)
+        if _use_fused_vocab:
+            from univl_tpu.kernels.vocab_topk import pad_vocab_inputs
+
+            # hoisted out of the decode while-loops: the kernel consumes the
+            # tied classifier weight in compute dtype (the unfused path
+            # makes the same cast inside _classify) AND pre-padded to the
+            # vocab-tile multiple — XLA does not hoist the pad itself
+            # (1.94 ms/decode of repeated weight copies, docs/PERF.md r4)
+            cls_w, cls_b = pad_vocab_inputs(
+                fd.word_embed.astype(cache_dtype),
+                fd.p["classifier_bias"].astype(jnp.float32),
+            )
 
         seqs0 = jnp.full((B, K, max_len), pad_id, jnp.int32)
         seqs0 = seqs0.at[:, :, 0].set(bos_id)
@@ -203,20 +230,41 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
                 # reordering, applied here during the fused attention's
                 # single cache pass (read permuted + write position t-1 +
                 # attend), so no separate reorder pass runs at all.
-                logits, new_cache = fd.step_fused(
+                out, new_cache = fd.step_fused(
                     tok, t - 1, cache, enc_kv, enc_bias,
                     perm.reshape(B * K), K, interpret=_fused_interpret,
+                    return_hidden=_use_fused_vocab,
                 )
             else:
-                logits, new_cache = fd.step(tok, t - 1, cache, enc_kv, enc_bias)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            logp = logp.reshape(B, K, V)
+                out, new_cache = fd.step(
+                    tok, t - 1, cache, enc_kv, enc_bias,
+                    return_hidden=_use_fused_vocab,
+                )
+            if _use_fused_vocab:
+                from univl_tpu.kernels.vocab_topk import classify_topk
 
-            cand = scores[:, :, None] + logp
-            flat = cand.reshape(B, K * V)
-            top_scores, top_idx = jax.lax.top_k(flat, K)
-            prev_k = top_idx // V
-            next_y = (top_idx % V).astype(jnp.int32)
+                # per-row top-K logp + normalizer, no [B*K, V] HBM logits;
+                # any global top-K candidate is inside its row's top-K, so
+                # the K*K-candidate top_k below selects the same beams as
+                # the full K*V one (values to f32 tolerance)
+                logp_top, idx_top = classify_topk(
+                    out, cls_w, cls_b, K, interpret=_vocab_interpret
+                )
+                cand = scores[:, :, None] + logp_top.reshape(B, K, K)
+                top_scores, pos = jax.lax.top_k(cand.reshape(B, K * K), K)
+                prev_k = pos // K
+                next_y = jnp.take_along_axis(
+                    idx_top.reshape(B, K * K), pos, axis=1
+                ).astype(jnp.int32)
+            else:
+                logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+                logp = logp.reshape(B, K, V)
+
+                cand = scores[:, :, None] + logp
+                flat = cand.reshape(B, K * V)
+                top_scores, top_idx = jax.lax.top_k(flat, K)
+                prev_k = top_idx // V
+                next_y = (top_idx % V).astype(jnp.int32)
 
             reordered = jnp.take_along_axis(seqs, prev_k[:, :, None], axis=1)
             new_seqs = reordered.at[:, :, t].set(next_y)
@@ -330,11 +378,13 @@ class CaptionGenerator:
     def __init__(self, model: UniVL, params, tokenizer, beam_size: int = 5,
                  max_len: int = 48, batch_size: int = 16,
                  incremental: bool = True, mesh=None,
-                 fused_decode: bool | None = None):
+                 fused_decode: bool | None = None,
+                 fused_vocab: bool | None = None):
         """``mesh``: optional 1-D dp Mesh — eval batches are sharded over
         the batch dim so each device decodes its share of the beam batch
         (the caption-side analogue of the retrieval eval fan-out).
-        ``fused_decode``: see make_fast_beam_decode_fn (incremental only)."""
+        ``fused_decode``/``fused_vocab``: see make_fast_beam_decode_fn
+        (incremental only)."""
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
@@ -356,7 +406,10 @@ class CaptionGenerator:
             )
 
         self._encode = encode_fn
-        kw = {"fused_decode": fused_decode} if incremental else {}
+        kw = (
+            {"fused_decode": fused_decode, "fused_vocab": fused_vocab}
+            if incremental else {}
+        )
         make = make_fast_beam_decode_fn if incremental else make_beam_decode_fn
         self._decode = make(
             model, beam_size, max_len,

@@ -140,9 +140,15 @@ class FastDecoder:
             lp["output"]["ln"],
         )
 
-    def _classify(self, x):
+    def _classify_hidden(self, x):
+        """Classifier transform (dense -> GELU -> LN), WITHOUT the tied
+        30k-vocab GEMM: the fused vocab-topk decode path
+        (kernels/vocab_topk.py) runs that GEMM inside the kernel."""
         ct = self.p["classifier_transform"]
-        h = _ln(_gelu(_dense(x, ct["dense"])), ct["ln"])  # [B, 1, H]
+        return _ln(_gelu(_dense(x, ct["dense"])), ct["ln"])  # [B, 1, H]
+
+    def _classify(self, x):
+        h = self._classify_hidden(x)
         return (
             jnp.einsum(
                 "bqh,vh->bqv", h, self.word_embed.astype(h.dtype),
@@ -158,9 +164,12 @@ class FastDecoder:
         cache: DecodeCache,  # tuple of per-layer (k, v) [B, H, Lmax, D]
         enc_kv: DecodeCache,  # tuple of per-layer (k, v) [B, H, Lenc, D]
         enc_bias: jax.Array,  # [B, 1, 1, Lenc] additive
+        return_hidden: bool = False,
     ) -> Tuple[jax.Array, DecodeCache]:
         """Returns (logits [B, V], new cache). Embeds token at position t and
-        predicts position t+1's distribution."""
+        predicts position t+1's distribution. ``return_hidden=True`` returns
+        the post-classifier-transform hidden [B, H] instead of logits (the
+        fused vocab-topk path computes the tied GEMM in-kernel)."""
         scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, jnp.float32))
         B = tok.shape[0]
         Lmax = cache[0][0].shape[2]
@@ -202,6 +211,8 @@ class FastDecoder:
             ).astype(x.dtype)
             x = self._layer_tail(ctx, x, lp, enc_kv[i], enc_bias, scale, B)
 
+        if return_hidden:
+            return self._classify_hidden(x)[:, 0, :], tuple(new_cache)
         return self._classify(x), tuple(new_cache)
 
     def step_fused(
@@ -214,6 +225,7 @@ class FastDecoder:
         perm: jax.Array,  # [B] int32 LOCAL source row within each group
         group: int,  # beam width K
         interpret: bool = False,
+        return_hidden: bool = False,
     ) -> Tuple[jax.Array, DecodeCache]:
         """step() with the pending beam permutation fused into the
         self-attention cache pass (kernels/decode_attention.py): the cache
@@ -244,4 +256,6 @@ class FastDecoder:
                 ctx[:, :, None, :], x, lp, enc_kv[i], enc_bias, scale, B
             )
 
+        if return_hidden:
+            return self._classify_hidden(x)[:, 0, :], tuple(new_cache)
         return self._classify(x), tuple(new_cache)

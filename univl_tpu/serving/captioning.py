@@ -63,6 +63,7 @@ class CaptionService:
         batch_size: int = 16,
         mesh=None,
         fused_decode: Optional[bool] = None,
+        fused_vocab: Optional[bool] = None,
     ):
         cfg = model.cfg
         self.tokenizer = tokenizer
@@ -77,6 +78,13 @@ class CaptionService:
             os.environ.get("UNIVL_TPU_FUSED_DECODE", ""),
         )
         self.fused_decode = fused_decode
+        # same serving-side default policy as fused_decode: quality-only
+        # tolerance contract, measured faster on TPU (docs/PERF.md round 4)
+        fused_vocab = resolve_serving_fused_decode(
+            fused_vocab, jax.default_backend(),
+            os.environ.get("UNIVL_TPU_FUSED_VOCAB", ""),
+        )
+        self.fused_vocab = fused_vocab
         self._gen = CaptionGenerator(
             model, params, tokenizer,
             beam_size=beam_size,
@@ -85,6 +93,7 @@ class CaptionService:
             incremental=True,
             mesh=mesh,
             fused_decode=fused_decode,
+            fused_vocab=fused_vocab,
         )
 
     def caption(
