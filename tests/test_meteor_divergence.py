@@ -419,3 +419,52 @@ def test_deficit_vs_incidence_slope(scores):
     # uncertainty at ~0.011-0.022 absolute.
     assert 0.9 <= low_slope <= 1.3, low_slope
     assert 0.6 <= ls_slope <= 1.2, ls_slope
+
+
+def test_paraphrase_stage_closes_full_deficit():
+    """Round-4: the paraphrase matcher is now PRODUCTION code
+    (caption_metrics.meteor(..., paraphrases=...), span-aware aligner).
+    With both tables plugged, the production beam aligner must reach the
+    exhaustive four-module oracle EXACTLY on every fixture — paraphrase-
+    only pairs, mixed pairs, and the corpus aggregate. Only the DATA files
+    remain absent (auto-load hooks: load_wordnet_synonyms,
+    load_meteor_paraphrases)."""
+    for i in range(len(FIXTURES)):
+        ours = meteor([REFS[i]], [HYPS[i]],
+                      synonyms=SYN_TABLE, paraphrases=PARA_TABLE)
+        orc = oracle_meteor([REFS[i]], [HYPS[i]],
+                            synonyms=SYN_TABLE, paraphrases=PARA_TABLE)
+        assert abs(ours - orc) < 1e-12, (TAGS[i], HYPS[i], ours, orc)
+    c_ours = meteor(REFS, HYPS, synonyms=SYN_TABLE, paraphrases=PARA_TABLE)
+    c_orc = oracle_meteor(REFS, HYPS, synonyms=SYN_TABLE,
+                          paraphrases=PARA_TABLE)
+    assert abs(c_ours - c_orc) < 1e-12, (c_ours, c_orc)
+
+
+def test_paraphrase_loader_formats(tmp_path):
+    """load_meteor_paraphrases: TSV and METEOR alternating-line formats,
+    .gz transparent, None when absent."""
+    import gzip
+
+    from univl_tpu.evals.caption_metrics import load_meteor_paraphrases
+
+    tsv = tmp_path / "para.tsv"
+    tsv.write_text("# comment\nput in\tadd\nright away\timmediately\n")
+    t = load_meteor_paraphrases(str(tsv))
+    assert (("put", "in"), ("add",)) in t
+    assert (("right", "away"), ("immediately",)) in t
+
+    alt = tmp_path / "paraphrase-en.gz"
+    with gzip.open(alt, "wt") as f:
+        f.write("take out\nremove\ncut up\nchop\n")
+    t = load_meteor_paraphrases(str(alt))
+    assert (("take", "out"), ("remove",)) in t
+    assert (("cut", "up"), ("chop",)) in t
+
+    assert load_meteor_paraphrases(str(tmp_path / "missing")) is None
+
+    # the loaded TSV table drives the production matcher end-to-end
+    m0 = meteor([["add the garlic"]], ["put in the garlic"])
+    m1 = meteor([["add the garlic"]], ["put in the garlic"],
+                paraphrases=load_meteor_paraphrases(str(tsv)))
+    assert m1 > m0

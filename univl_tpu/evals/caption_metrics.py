@@ -14,17 +14,20 @@ from the published algorithms:
     via nltk), module weights 1.0/0.6, English rank-task parameters
     alpha=.85 beta=.2 gamma=.6 delta=.75, content/function-word weighting,
     chunk-minimizing alignment, corpus-level aggregation of sufficient
-    statistics. The WordNet-synonym matcher (w=.8) is IMPLEMENTED with a
-    pluggable synonym table (``meteor(..., synonyms=...)``); the WordNet
-    data file itself is unavailable offline, so the default path runs
-    exact+stem only — ``load_wordnet_synonyms()`` plugs the corpus in
-    automatically if it ever appears on disk. The paraphrase-table matcher
-    (w=.6) is absent (data file unavailable). Scores without those tables
-    are a LOWER BOUND on Java METEOR (extra matchers only add matches);
-    the deficit is MEASURED against an exhaustive-alignment oracle on a
-    labeled fixture set in tests/test_meteor_divergence.py and recorded
-    in docs/PARITY.md. See tests/test_evals.py for hand-computed formula
-    fixtures.
+    statistics. ALL FOUR matcher modules are implemented: the
+    WordNet-synonym matcher (w=.8) takes a pluggable synonym table
+    (``meteor(..., synonyms=...)``) and the paraphrase-table matcher
+    (w=.6, phrase spans) a pluggable phrase table
+    (``meteor(..., paraphrases=...)``). The DATA files themselves (WordNet
+    corpus, paraphrase-en.gz) are unavailable offline, so the default path
+    runs exact+stem only — ``load_wordnet_synonyms()`` /
+    ``load_meteor_paraphrases()`` plug them in automatically if they ever
+    appear on disk ($UNIVL_TPU_METEOR_PARAPHRASES for the phrase table).
+    Scores without those tables are a LOWER BOUND on Java METEOR (extra
+    matchers only add matches); the deficit is MEASURED against an
+    exhaustive-alignment oracle on a labeled fixture set in
+    tests/test_meteor_divergence.py and recorded in docs/PARITY.md. See
+    tests/test_evals.py for hand-computed formula fixtures.
 
 Inputs: hyps: list[str]; refs: list[list[str]] (multi-reference per row,
 reference assembles these for MSRVTT at main_task_caption.py:599-607).
@@ -212,12 +215,17 @@ _FUNCTION_WORDS = frozenset(
 
 # METEOR 1.5 English rank-task parameters and matcher weights
 _M15 = dict(alpha=0.85, beta=0.2, gamma=0.6, delta=0.75,
-            w_exact=1.0, w_stem=0.6, w_syn=0.8)
+            w_exact=1.0, w_stem=0.6, w_syn=0.8, w_para=0.6)
 
 # Synonym table type: word -> set of synset ids (any hashable). Two words
 # synonym-match when their id sets intersect (METEOR's "share a WordNet
 # synset" rule, Denkowski & Lavie 2014 §2.1).
 SynTable = Dict[str, frozenset]
+
+# Paraphrase table type: symmetric phrase pairs (token tuples), the METEOR
+# paraphrase module's db rows (Denkowski & Lavie 2014 §2.1, w=.6); e.g.
+# (("put", "in"), ("add",)). Matched in BOTH directions.
+ParaTable = Sequence[tuple]
 
 
 def load_wordnet_synonyms() -> "SynTable | None":
@@ -268,58 +276,105 @@ def _candidates(h: List[str], r: List[str], stem,
     return cand
 
 
+def _phrase_candidates(h: List[str], r: List[str],
+                       paraphrases: "ParaTable | None") -> List[tuple]:
+    """Paraphrase-module candidates as spans (i, li, j, lj, w): hyp span
+    [i, i+li) matches ref span [j, j+lj) when they realize the two sides of
+    a paraphrase-table row (both directions)."""
+    if not paraphrases:
+        return []
+    out = []
+    for pa, pb in paraphrases:
+        for xa, xb in ((tuple(pa), tuple(pb)), (tuple(pb), tuple(pa))):
+            for i in range(len(h) - len(xa) + 1):
+                if tuple(h[i:i + len(xa)]) != xa:
+                    continue
+                for j in range(len(r) - len(xb) + 1):
+                    if tuple(r[j:j + len(xb)]) == xb:
+                        out.append((i, len(xa), j, len(xb), _M15["w_para"]))
+    return out
+
+
 def _align(h: List[str], r: List[str], stem,
-           synonyms: "SynTable | None" = None):
-    """Beam search over hyp positions: maximize total matcher weight, then
-    minimize chunks (the Java aligner's objective). Returns sorted match
-    list [(i, j, w_mod)]."""
-    cand = _candidates(h, r, stem, synonyms)
+           synonyms: "SynTable | None" = None,
+           paraphrases: "ParaTable | None" = None):
+    """Beam search over hyp positions: maximize total matcher weight
+    (phrase matches score w * (li + lj) / 2, reducing to w for word
+    matches), then minimize chunks (the Java aligner's objective). Returns
+    match list of spans [(i, li, j, lj, w_mod)]."""
     by_i: Dict[int, List[tuple]] = {}
-    for (i, j), w in cand.items():
-        by_i.setdefault(i, []).append((j, w))
-    # state: (used_ref frozenset, last_j, total_w, chunks, matches tuple)
-    beams = [(frozenset(), None, 0.0, 0, ())]
+    for (i, j), w in _candidates(h, r, stem, synonyms).items():
+        by_i.setdefault(i, []).append((i, 1, j, 1, w))
+    for c in _phrase_candidates(h, r, paraphrases):
+        by_i.setdefault(c[0], []).append(c)
+    # beams_at[i]: states at hyp position i —
+    # (used_ref frozenset, total_w, chunks, matches tuple of spans)
     WIDTH = 16
-    for i in range(len(h)):
-        nxt = []
-        for used, last, tw, ch, ms in beams:
-            nxt.append((used, None, tw, ch, ms))  # skip hyp word i
-            for j, w in by_i.get(i, ()):
-                if j in used:
+    n = len(h)
+    beams_at: Dict[int, List[tuple]] = {0: [(frozenset(), 0.0, 0, ())]}
+    for i in range(n):
+        here = beams_at.pop(i, [])
+        if not here:
+            continue
+        here.sort(key=lambda s: (-s[1], s[2]))
+        here = here[:WIDTH]
+
+        def emit(pos, st):
+            beams_at.setdefault(pos, []).append(st)
+
+        for used, tw, ch, ms in here:
+            emit(i + 1, (used, tw, ch, ms))  # skip hyp word i
+            for (ci, li, j, lj, w) in by_i.get(i, ()):
+                span = frozenset(range(j, j + lj))
+                if used & span:
                     continue
                 contiguous = (
-                    ms and ms[-1][0] == i - 1 and ms[-1][1] == j - 1
+                    ms
+                    and ms[-1][0] + ms[-1][1] == ci
+                    and ms[-1][2] + ms[-1][3] == j
                 )
-                nxt.append(
-                    (used | {j}, j, tw + w, ch + (0 if contiguous else 1),
-                     ms + ((i, j, w),))
-                )
-        nxt.sort(key=lambda s: (-s[2], s[3]))
-        beams = nxt[:WIDTH]
-    best = beams[0]
-    return list(best[4])
+                emit(i + li, (
+                    used | span,
+                    tw + w * (li + lj) / 2.0,
+                    ch + (0 if contiguous else 1),
+                    ms + ((ci, li, j, lj, w),),
+                ))
+    final = beams_at.get(n, [])
+    final.sort(key=lambda s: (-s[1], s[2]))
+    return list(final[0][3]) if final else []
 
 
 def _segment_stats(h: List[str], r: List[str], stem, delta: float,
-                   synonyms: "SynTable | None" = None):
-    """Sufficient statistics for one (hyp, ref) pair."""
-    matches = _align(h, r, stem, synonyms)
-    wp = sum(w * _word_weight(h[i], delta) for i, j, w in matches)
-    wr = sum(w * _word_weight(r[j], delta) for i, j, w in matches)
+                   synonyms: "SynTable | None" = None,
+                   paraphrases: "ParaTable | None" = None):
+    """Sufficient statistics for one (hyp, ref) pair. Spans generalize the
+    word-match stats: a module match covering spans (li, lj) contributes
+    w * sum(word weights) on each side and (li + lj) / 2 matched words."""
+    matches = _align(h, r, stem, synonyms, paraphrases)
+    wp = sum(
+        w * sum(_word_weight(h[i + t], delta) for t in range(li))
+        for i, li, j, lj, w in matches
+    )
+    wr = sum(
+        w * sum(_word_weight(r[j + t], delta) for t in range(lj))
+        for i, li, j, lj, w in matches
+    )
     lh = sum(_word_weight(w, delta) for w in h)
     lr = sum(_word_weight(w, delta) for w in r)
+    cov_h = sum(li for i, li, j, lj, w in matches)
+    cov_r = sum(lj for i, li, j, lj, w in matches)
     chunks = 0
     prev = None
-    for i, j, _ in matches:
-        if prev is None or not (i == prev[0] + 1 and j == prev[1] + 1):
+    for i, li, j, lj, _ in matches:
+        if prev is None or not (i == prev[0] + prev[1] and j == prev[2] + prev[3]):
             chunks += 1
-        prev = (i, j)
+        prev = (i, li, j, lj)
     # exact full match in a single chunk -> no fragmentation (Java special
     # case: a perfectly contiguous total alignment is unpenalized)
-    if chunks == 1 and len(matches) == len(h) == len(r):
+    if chunks == 1 and cov_h == len(h) and cov_r == len(r) == len(h):
         chunks = 0
     return dict(wp=wp, wr=wr, lh=lh, lr=lr,
-                chunks=chunks, m=float(len(matches)))
+                chunks=chunks, m=(cov_h + cov_r) / 2.0)
 
 
 def _meteor_from_stats(s, alpha: float, beta: float, gamma: float) -> float:
@@ -337,11 +392,15 @@ def meteor(
     alpha: float = _M15["alpha"], beta: float = _M15["beta"],
     gamma: float = _M15["gamma"], delta: float = _M15["delta"],
     synonyms: "SynTable | None" = None,
+    paraphrases: "ParaTable | None" = None,
 ) -> float:
     """Corpus-level METEOR: per segment pick the best-scoring reference,
     aggregate its sufficient statistics, apply the formula to the totals
     (the Java scorer's system-level aggregation). ``synonyms`` plugs in the
-    w=.8 WordNet-synonym matcher (see load_wordnet_synonyms)."""
+    w=.8 WordNet-synonym matcher (see load_wordnet_synonyms);
+    ``paraphrases`` the w=.6 phrase-table matcher (see
+    load_meteor_paraphrases) — with both plugged, the full four-module
+    Java METEOR matcher stack runs."""
     global _STEM
     if _STEM is None:
         _STEM = _stemmer()
@@ -350,7 +409,8 @@ def meteor(
         h = hyp.lower().split()
         best_s, best_score = None, -1.0
         for ref in refs_i:
-            s = _segment_stats(h, ref.lower().split(), _STEM, delta, synonyms)
+            s = _segment_stats(h, ref.lower().split(), _STEM, delta,
+                               synonyms, paraphrases)
             score = _meteor_from_stats(s, alpha, beta, gamma)
             if score > best_score:
                 best_s, best_score = s, score
@@ -360,8 +420,51 @@ def meteor(
     return _meteor_from_stats(agg, alpha, beta, gamma)
 
 
+def load_meteor_paraphrases(path: "str | None" = None) -> "ParaTable | None":
+    """Load a METEOR paraphrase table, or None when absent (the
+    offline-image default — the METEOR 1.5 ``paraphrase-en.gz`` data file
+    is not shipped; verified round 2).
+
+    Accepted formats (``.gz`` transparently decompressed):
+      - METEOR 1.5 ``paraphrase-en`` layout: alternating lines
+        (phrase_1 / phrase_2 / ...), pairs on consecutive lines
+      - TSV: one ``phrase_a<TAB>phrase_b`` pair per line (comment lines
+        starting with '#' skipped)
+    ``path`` defaults to $UNIVL_TPU_METEOR_PARAPHRASES. When the table is
+    present, compute_caption_metrics picks it up automatically, restoring
+    the Java jar's fourth (w=.6) matcher stage — the full four-module
+    stack then runs in production (pinned against the exhaustive-alignment
+    oracle in tests/test_meteor_divergence.py)."""
+    import gzip
+    import os
+
+    path = path or os.environ.get("UNIVL_TPU_METEOR_PARAPHRASES")
+    if not path or not os.path.exists(path):
+        return None
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    pairs: List[tuple] = []
+    if any("\t" in ln for ln in lines[:50] if ln and not ln.startswith("#")):
+        for ln in lines:
+            if not ln or ln.startswith("#"):
+                continue
+            a, _, b = ln.partition("\t")
+            if a and b:
+                pairs.append((tuple(a.lower().split()), tuple(b.lower().split())))
+    else:
+        flat = [ln for ln in lines if ln and not ln.startswith("#")]
+        for i in range(0, len(flat) - 1, 2):
+            pairs.append((
+                tuple(flat[i].lower().split()),
+                tuple(flat[i + 1].lower().split()),
+            ))
+    return pairs or None
+
+
 # --------------------------------------------------------------------- #
 _WORDNET_SYNONYMS: "SynTable | None | bool" = False  # False = not probed yet
+_PARAPHRASES: "ParaTable | None | bool" = False  # False = not probed yet
 
 
 def _auto_synonyms() -> "SynTable | None":
@@ -373,6 +476,14 @@ def _auto_synonyms() -> "SynTable | None":
     return _WORDNET_SYNONYMS
 
 
+def _auto_paraphrases() -> "ParaTable | None":
+    """Probe $UNIVL_TPU_METEOR_PARAPHRASES ONCE per process."""
+    global _PARAPHRASES
+    if _PARAPHRASES is False:
+        _PARAPHRASES = load_meteor_paraphrases()
+    return _PARAPHRASES
+
+
 def compute_caption_metrics(refs: List[List[str]], hyps: List[str]) -> Dict[str, float]:
     """Full nlg-eval-style metric dict (reference eval prints these,
     main_task_caption.py:613-615)."""
@@ -382,7 +493,8 @@ def compute_caption_metrics(refs: List[List[str]], hyps: List[str]) -> Dict[str,
         "Bleu_2": b[1],
         "Bleu_3": b[2],
         "Bleu_4": b[3],
-        "METEOR": meteor(refs, hyps, synonyms=_auto_synonyms()),
+        "METEOR": meteor(refs, hyps, synonyms=_auto_synonyms(),
+                         paraphrases=_auto_paraphrases()),
         "ROUGE_L": rouge_l(refs, hyps),
         "CIDEr": cider_d(refs, hyps),
     }
