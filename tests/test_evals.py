@@ -288,3 +288,39 @@ def test_sharded_evaluator_matches_single(tiny_setup, rng):
     joint_8 = sharded.joint_sim_matrix(enc_s)
     np.testing.assert_allclose(joint_1, joint_8, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(sim_1, sim_8, rtol=1e-4, atol=1e-5)
+
+
+def test_mesh_resident_rescoring_matches_host_and_single(tiny_setup):
+    """Round-4: evaluate(mode='cross') takes the device-RESIDENT path with
+    or without a mesh. On the 8-device CPU mesh the resident row-stripes
+    shard over dp (visual corpus replicated); the sim matrix must equal
+    both the single-device resident path and the host-bounce tile loop,
+    including a ragged final batch."""
+    from univl_tpu.parallel.mesh import make_mesh
+
+    cfg, model, params = tiny_setup
+    rng1 = np.random.RandomState(7)
+    batches = [dict(b) for b in _eval_batches(cfg, rng1, n_batches=3)]
+    batches[-1] = {k: v[:3] for k, v in batches[-1].items()}  # N=11, ragged
+
+    single = RetrievalEvaluator(model, params, batch_size=4,
+                                cross_text_block=2, cross_video_block=8)
+    enc_1 = single.encode_dataset_device(iter(batches))
+    sim_1 = single.cross_sim_matrix_device(enc_1)
+    host_enc = single.encode_dataset(iter(batches), store_full=True)
+    sim_host = single.cross_sim_matrix(host_enc)
+
+    mesh = make_mesh()
+    sharded = RetrievalEvaluator(model, params, batch_size=4,
+                                 cross_text_block=1, cross_video_block=8,
+                                 mesh=mesh)
+    enc_8 = sharded.encode_dataset_device(iter(batches))
+    sim_8 = sharded.cross_sim_matrix_device(enc_8)
+
+    assert sim_8.shape == sim_1.shape == (11, 11)
+    np.testing.assert_allclose(sim_1, sim_host, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(sim_8, sim_1, rtol=1e-4, atol=1e-5)
+
+    # the public entry point routes through the resident path on a mesh
+    m = sharded.evaluate(iter(batches), mode="cross")
+    assert 0.0 <= m["R1"] <= 1.0

@@ -182,10 +182,19 @@ class RetrievalEvaluator:
         sized corpus would take hours in transfers alone). Device-resident,
         the quadratic pass moves no bytes off-chip except the [N, N] sim
         matrix itself. A 3.3k-clip corpus holds ~1 GB of fp32 outputs —
-        ~6% of one v5e's HBM."""
+        ~6% of one v5e's HBM. With a mesh, encode batches shard over the
+        dp axis (same fan-out as encode_dataset)."""
         seqs, viss, ams, vms, texts, videos = [], [], [], [], [], []
         for batch in batches:
-            batch, n = _pad_batch(batch, self.batch_size)
+            size = self.batch_size
+            if self._n_dev > 1:
+                size = ((size + self._n_dev - 1) // self._n_dev) * self._n_dev
+            batch, n = _pad_batch(batch, size)
+            if self._shard_rows is not None:
+                batch = {
+                    k: jax.device_put(v, self._shard_rows)
+                    for k, v in batch.items()
+                }
             seq, vis = self._encode(
                 self.params,
                 batch["input_ids"], batch["token_type_ids"],
@@ -194,10 +203,10 @@ class RetrievalEvaluator:
             t, v = self._pool(seq, vis, batch["attention_mask"], batch["video_mask"])
             seqs.append(seq[:n])
             viss.append(vis[:n])
-            ams.append(jnp.asarray(batch["attention_mask"][:n]))
-            vms.append(jnp.asarray(batch["video_mask"][:n]))
-            texts.append(np.asarray(t[:n], np.float32))
-            videos.append(np.asarray(v[:n], np.float32))
+            ams.append(jnp.asarray(batch["attention_mask"])[:n])
+            vms.append(jnp.asarray(batch["video_mask"])[:n])
+            texts.append(self._host(t, np.float32)[:n])
+            videos.append(self._host(v, np.float32)[:n])
         return {
             "seq": jnp.concatenate(seqs),
             "vis": jnp.concatenate(viss),
@@ -215,8 +224,19 @@ class RetrievalEvaluator:
         visual outputs) and fills [tb, N] scores on device. The Python loop
         dispatches one stripe per text block; dispatches pipeline (no
         per-stripe sync) and only the [tb, N] score rows come back to host.
-        Compiles once regardless of N (block sizes are static)."""
-        tb, vb = self.tb, self.vb
+        Compiles once regardless of N (block sizes are static).
+
+        With a mesh (round-4 VERDICT item 6), the SAME program is
+        dp-sharded: the stripe's text rows shard over the dp axis (each
+        device rescores tb/n_dev rows, XLA partitions the cross encoder's
+        batch dim) while the resident visual outputs are replicated —
+        per-device memory equals the single-chip footprint and the
+        quadratic rescoring compute divides by dp (the reference's
+        thread-per-GPU parallel_apply fan-out, main_task_retrieval.py:
+        406-440, without leaving the resident path)."""
+        # with a mesh each device handles self.tb text rows per stripe
+        tb = self.tb * self._n_dev
+        vb = self.vb
         n = int(enc["seq"].shape[0])
         n_pad = -(-n // tb) * tb
         nv_pad = -(-n // vb) * vb
@@ -225,11 +245,16 @@ class RetrievalEvaluator:
         am = _pad_rows_device(enc["am"], n_pad)
         vis = _pad_rows_device(enc["vis"], nv_pad)
         vm = _pad_rows_device(enc["vm"], nv_pad)
+        if self.mesh is not None:
+            # resident corpus replicated; stripe inputs/rows dp-sharded
+            vis = jax.device_put(vis, self._repl)
+            vm = jax.device_put(vm, self._repl)
+            seq = jax.device_put(seq, self._repl)
+            am = jax.device_put(am, self._repl)
 
         model = self.model
 
-        @jax.jit
-        def stripe(params, seq_i, am_i, vis_all, vm_all):
+        def stripe_fn(params, seq_i, am_i, vis_all, vm_all):
             nv = vis_all.shape[0] // vb
 
             def body(j, acc):
@@ -246,10 +271,21 @@ class RetrievalEvaluator:
             acc0 = jnp.zeros((tb, nv * vb), jnp.float32)
             return jax.lax.fori_loop(0, nv, body, acc0)
 
+        if self.mesh is not None:
+            stripe = jax.jit(stripe_fn, out_shardings=self._shard_rows)
+        else:
+            stripe = jax.jit(stripe_fn)
+
         rows = []
         for i0 in range(0, n_pad, tb):
-            rows.append(stripe(self.params, seq[i0:i0 + tb], am[i0:i0 + tb], vis, vm))
-        sim = np.concatenate([np.asarray(r) for r in rows], axis=0)
+            seq_i, am_i = seq[i0:i0 + tb], am[i0:i0 + tb]
+            if self.mesh is not None:
+                # reshard the stripe's text rows over dp (slices of the
+                # replicated resident array arrive replicated)
+                seq_i = jax.device_put(seq_i, self._shard_rows)
+                am_i = jax.device_put(am_i, self._shard_rows)
+            rows.append(stripe(self.params, seq_i, am_i, vis, vm))
+        sim = np.concatenate([self._host(r) for r in rows], axis=0)
         return sim[:n, :n]
 
     def cross_sim_matrix(self, enc) -> np.ndarray:
@@ -286,26 +322,24 @@ class RetrievalEvaluator:
     ) -> Dict[str, float]:
         """mode: 'joint' | 'cross' (default from model config).
 
-        Cross mode without a mesh uses the device-resident pipeline
-        (encoder outputs stay in HBM, tests pin parity with the host
-        path) — at YouCook2 scale the host-bounce loop re-uploads the
-        visual outputs O(N/tb) times (docs/PERF.md FT-Align section).
-        The mesh-sharded eval keeps the host path (row-block fan-out)."""
+        Cross mode always takes the device-resident pipeline (encoder
+        outputs stay in HBM; tests pin parity with the host-bounce path)
+        — the host loop re-uploads the visual outputs O(N/tb) times at
+        YouCook2 scale (docs/PERF.md FT-Align section). With a mesh the
+        resident row-stripes shard over dp (round-4: the corpus-scale
+        path and the multi-chip path are the same code)."""
         if mode is None:
             mode = (
                 "cross"
                 if (self.model.cfg.train_sim_after_cross or self.model.cfg.stage_two)
                 else "joint"
             )
-        if mode == "cross" and self.mesh is None:
+        if mode == "cross":
             enc = self.encode_dataset_device(batches)
             sim = self.cross_sim_matrix_device(enc)
         else:
-            enc = self.encode_dataset(batches, store_full=(mode == "cross"))
-            sim = (
-                self.joint_sim_matrix(enc) if mode == "joint"
-                else self.cross_sim_matrix(enc)
-            )
+            enc = self.encode_dataset(batches, store_full=False)
+            sim = self.joint_sim_matrix(enc)
         metrics = compute_retrieval_metrics(sim)
         metrics["mode"] = mode  # type: ignore[assignment]
         return metrics
