@@ -307,3 +307,48 @@ def test_zero1_bf16_state_close_to_fp32(rng):
         s32, _ = t_f32.train_step(s32, batch, key)
         s16, _ = t_bf16.train_step(s16, batch, key)
     _assert_params_close(s32.params, s16.params, rtol=5e-2, atol=5e-4)
+
+
+def test_zero1_tp_matches_dp_tp(rng):
+    """Round-4 (VERDICT item 5): zero1 x tp. On a (dp=2, tp=4) mesh the
+    zero1_tp optimizer (flat dp-scattered path on tp-replicated leaves,
+    per-leaf adam on tp-sharded leaves) must track the replicated
+    optimizer on the SAME mesh step for step — completing the parallelism
+    matrix (the round-3 trainer raised `zero1 requires tp == 1`)."""
+    from univl_tpu.parallel.tp import make_mesh_2d
+    from univl_tpu.train.zero1_tp import make_univl_zero1_tp_optimizer
+
+    cfg = UniVLConfig.tiny()
+    dp, tp = 2, 4
+    mesh = make_mesh_2d(dp, tp)
+    model = UniVL(cfg)
+    kw = dict(lr=1e-3, t_total=50, warmup_proportion=0.02, coef_lr=0.1)
+    t_ref = Trainer(model, make_univl_optimizer(**kw), mesh,
+                    grad_accum_steps=1, donate=False)
+    t_z = Trainer(model, make_univl_zero1_tp_optimizer(dp=dp, tp=tp, **kw),
+                  mesh, grad_accum_steps=1, donate=False, zero1=True)
+
+    state_r = t_ref.init_state(jax.random.key(0), make_batch(cfg, rng))
+    state_z = t_z.init_state(jax.random.key(0), make_batch(cfg, rng))
+    _assert_params_close(state_r.params, state_z.params, rtol=0, atol=0)
+
+    # the flat moments are dp-sharded; at least one leaf moment must be
+    # tp-sharded (the ZeRO-for-free-over-tp claim)
+    from jax.sharding import PartitionSpec as P
+    assert state_z.opt_state.m.sharding.spec == P(DP_AXIS)
+    leaf_specs = [
+        x.sharding.spec for x in jax.tree.leaves(state_z.opt_state.leaf_m)
+        if x.ndim
+    ]
+    assert any(any(ax is not None for ax in sp) for sp in leaf_specs), leaf_specs
+
+    for i in range(4):
+        batch = t_ref.shard_batch(
+            global_batch(cfg, np.random.RandomState(i), dp))
+        key = jax.random.key(i)
+        state_r, m_r = t_ref.train_step(state_r, batch, key)
+        state_z, m_z = t_z.train_step(state_z, batch, key)
+        np.testing.assert_allclose(
+            float(m_z["loss"]), float(m_r["loss"]), rtol=1e-6)
+
+    _assert_params_close(state_r.params, state_z.params)

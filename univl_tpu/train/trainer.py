@@ -91,10 +91,11 @@ class Trainer:
         self.tp_size = mesh_tp_size(mesh)
         # ZeRO-1 (train/zero1.py): tx must be a zero1_bert_adam — grads are
         # reduce-scattered and the optimizer state/update sharded over dp
-        # inside the step (no pmean of the full gradient tree).
+        # inside the step (no pmean of the full gradient tree). With tp > 1
+        # tx must be a zero1_tp_bert_adam (train/zero1_tp.py): tp-sharded
+        # leaves run per-leaf adam (moments GSPMD-sharded over tp),
+        # tp-replicated leaves keep the flat dp-scattered path.
         self.zero1 = zero1
-        if zero1 and self.tp_size > 1:
-            raise ValueError("zero1 requires tp == 1 (params replicated in dp)")
         # Per-step XLA overrides (e.g. the latency-hiding scheduler A/B in
         # docs/PERF.md); defaults from UNIVL_TPU_XLA_OPTIONS so bench.py and
         # every CLI driver can A/B scheduling knobs without code changes.
@@ -116,14 +117,30 @@ class Trainer:
         opt_state = self.tx.init(params)
         state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros([], jnp.int32))
         if self.zero1:
+            repl = NamedSharding(self.mesh, P())
+            row_sh = NamedSharding(self.mesh, P(DP_AXIS))
+            if self.tp_size > 1:
+                from univl_tpu.parallel.tp import param_pspecs
+                from univl_tpu.train.zero1_tp import Zero1TpState
+
+                pspecs = param_pspecs(params, self.tp_size)
+                p_sh = jax.tree.map(lambda sp: NamedSharding(self.mesh, sp), pspecs)
+                # leaf moments mirror the param tp shardings; flat-subset
+                # placeholders (shape ()) are replicated
+                lm_sh = jax.tree.map(
+                    lambda sh, mom: sh if mom.ndim else repl,
+                    p_sh, opt_state.leaf_m,
+                )
+                o_sh = Zero1TpState(
+                    step=repl, m=row_sh, v=row_sh,
+                    leaf_m=lm_sh, leaf_v=lm_sh,
+                )
+                return jax.device_put(
+                    state, TrainState(params=p_sh, opt_state=o_sh, step=repl)
+                )
             from univl_tpu.train.zero1 import Zero1State
 
-            repl = NamedSharding(self.mesh, P())
-            o_sh = Zero1State(
-                step=repl,
-                m=NamedSharding(self.mesh, P(DP_AXIS)),
-                v=NamedSharding(self.mesh, P(DP_AXIS)),
-            )
+            o_sh = Zero1State(step=repl, m=row_sh, v=row_sh)
             return jax.device_put(
                 state, TrainState(params=repl, opt_state=o_sh, step=repl)
             )
@@ -199,7 +216,11 @@ class Trainer:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt_state, metrics
 
-        if self.zero1:
+        if self.zero1 and self.tp_size > 1:
+            from univl_tpu.train.zero1_tp import zero1_tp_state_pspecs
+
+            o_spec = zero1_tp_state_pspecs()
+        elif self.zero1:
             from univl_tpu.train.zero1 import zero1_state_pspecs
 
             o_spec = zero1_state_pspecs()
