@@ -300,34 +300,48 @@ def test_partial_restore_stage1_to_stage2(tmp_path, rng):
     assert np.isfinite(float(out["loss"]))
 
 
-def test_restore_adapts_old_1d_zero1_moments(tmp_path):
-    """Pre-v2 --zero1 checkpoints stored m/v as ONE flat 1-D [T_pad]
-    vector; v2 stores [T_pad // 8192, 8192] (train/zero1.py). restore must
-    upgrade the old layout transparently, like it adapts scan layouts.
-    Padding in both layouts is zero-moment (pad grads are zero), so the
-    upgrade is prefix-copy + zero-fill."""
+def test_restore_adapts_old_zero1_states(tmp_path):
+    """Old --zero1 checkpoints upgrade transparently on restore
+    (checkpoint/layout.py _adapt_zero1_moments), like scan layouts:
+
+      - pre-v2: m/v stored as ONE flat 1-D [T_pad] vector -> rechunked to
+        [T_pad // 8192, 8192] (prefix-copy + zero-fill; padding is
+        zero-moment in both layouts).
+      - pre-v3: no flat fp32 master ``p`` -> synthesized from the
+        checkpoint's own params (master == params bitwise by the v3
+        invariant, train/zero1.py)."""
     import numpy as np
     from univl_tpu.checkpoint.io import restore_checkpoint, save_checkpoint
     from univl_tpu.train.zero1 import _CHUNK, Zero1State
 
-    total = 3 * _CHUNK + 100  # true param count, not a multiple of _CHUNK
+    params = {
+        "a": np.arange(2 * _CHUNK + 70, dtype=np.float32) * 0.5,
+        "b": np.arange(_CHUNK + 30, dtype=np.float32) + 3.0,
+    }
+    total = sum(v.size for v in params.values())
     moments = np.arange(total, dtype=np.float32)
     old_pad = total + 412  # old 1-D padding granularity (whatever it was)
     old_flat = np.zeros(old_pad, np.float32)
     old_flat[:total] = moments
-    old = Zero1State(
-        step=np.asarray(7, np.int32), m=old_flat, v=old_flat * 2.0
-    )
+    # pre-v3 states had no ``p`` field — emulate the old 3-field NamedTuple
+    # with the dict flax.serialization would have written for it
+    old = {
+        "step": np.asarray(7, np.int32), "m": old_flat, "v": old_flat * 2.0
+    }
     path = str(tmp_path / "old_zero1.msgpack")
-    save_checkpoint(path, {"opt": old})
+    save_checkpoint(path, {"params": params, "opt": old})
 
     rows = -(-total // _CHUNK) + 2  # new padding differs from the old one
-    tmpl = Zero1State(
-        step=np.asarray(0, np.int32),
-        m=np.zeros((rows, _CHUNK), np.float32),
-        v=np.zeros((rows, _CHUNK), np.float32),
-    )
-    restored, _ = restore_checkpoint(path, {"opt": tmpl})
+    tmpl = {
+        "params": {k: np.zeros_like(v) for k, v in params.items()},
+        "opt": Zero1State(
+            step=np.asarray(0, np.int32),
+            m=np.zeros((rows, _CHUNK), np.float32),
+            v=np.zeros((rows, _CHUNK), np.float32),
+            p=np.zeros((rows, _CHUNK), np.float32),
+        ),
+    }
+    restored, _ = restore_checkpoint(path, tmpl)
     got = restored["opt"]
     assert np.asarray(got.m).shape == (rows, _CHUNK)
     np.testing.assert_array_equal(
@@ -338,8 +352,16 @@ def test_restore_adapts_old_1d_zero1_moments(tmp_path):
     )
     assert np.all(np.asarray(got.m).reshape(-1)[total:] == 0.0)
     assert int(got.step) == 7
+    # the synthesized master equals the checkpoint's params, flattened in
+    # jax.tree.leaves order, zero-padded
+    flat_p = np.asarray(got.p).reshape(-1)
+    np.testing.assert_array_equal(
+        flat_p[:total], np.concatenate([params["a"], params["b"]])
+    )
+    assert np.all(flat_p[total:] == 0.0)
 
     # current-layout checkpoints still roundtrip untouched
-    save_checkpoint(path, {"opt": got})
-    again, _ = restore_checkpoint(path, {"opt": tmpl})
+    save_checkpoint(path, {"params": params, "opt": got})
+    again, _ = restore_checkpoint(path, tmpl)
     np.testing.assert_array_equal(np.asarray(again["opt"].m), np.asarray(got.m))
+    np.testing.assert_array_equal(np.asarray(again["opt"].p), np.asarray(got.p))

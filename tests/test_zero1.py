@@ -95,11 +95,25 @@ def test_zero1_state_is_sharded(rng):
     shard_shapes = {s.data.shape for s in m.addressable_shards}
     assert shard_shapes == {(m.shape[0] // n_dev, _CHUNK)}
 
+    # v3: the fp32 master params shard like the moments and stay bitwise
+    # equal to the replicated param tree (they ARE the authority)
+    def check_master(st):
+        p = st.opt_state.p
+        assert p.shape == st.opt_state.m.shape
+        assert not p.sharding.is_fully_replicated
+        flat = np.concatenate(
+            [np.asarray(l).ravel() for l in jax.tree.leaves(st.params)])
+        np.testing.assert_array_equal(
+            np.asarray(p).reshape(-1)[: flat.size], flat)
+
+    check_master(state)
+
     # and stays sharded after a step
     batch = t_z.shard_batch(global_batch(cfg, rng, n_dev))
     state, _ = t_z.train_step(state, batch, jax.random.key(1))
     assert not state.opt_state.m.sharding.is_fully_replicated
     assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
+    check_master(state)
 
 
 def test_zero1_with_grad_accum(rng):
@@ -206,9 +220,8 @@ def test_zero1_state_conversion_roundtrip(rng):
         s, _ = t_ref.train_step(s, batch(i), jax.random.key(i))
     z_opt = zero1_state_from_replicated(s.params, s.opt_state, dp=n_dev)
     repl = NamedSharding(mesh, P())
-    z_opt = jax.device_put(z_opt, Zero1State(
-        step=repl, m=NamedSharding(mesh, P(DP_AXIS)),
-        v=NamedSharding(mesh, P(DP_AXIS))))
+    shd = NamedSharding(mesh, P(DP_AXIS))
+    z_opt = jax.device_put(z_opt, Zero1State(step=repl, m=shd, v=shd, p=shd))
     sz = s.replace(opt_state=z_opt)
     for i in range(2, 4):
         sz, _ = t_z.train_step(sz, batch(i), jax.random.key(i))
@@ -257,7 +270,7 @@ def test_zero1_bf16_state_matches_replicated_bf16():
     st_z = opt_z.init(params)
     repl = jax.sharding.NamedSharding(mesh, P())
     shd = jax.sharding.NamedSharding(mesh, P(DP_AXIS))
-    st_z = jax.device_put(st_z, Zero1State(step=repl, m=shd, v=shd))
+    st_z = jax.device_put(st_z, Zero1State(step=repl, m=shd, v=shd, p=shd))
 
     @jax.jit
     def z_step(g, st, p):
@@ -277,13 +290,13 @@ def test_zero1_bf16_state_matches_replicated_bf16():
                 np.random.RandomState(10 + i).randn(*p.shape), jnp.float32),
             params)
         upd_r, st_r = opt_r.update(g, st_r, p_r)
-        upd_z, st_z = z_step(g, st_z, p_z)
+        # v3 contract: zero1's update_fn returns the NEW params directly
+        p_z, st_z = z_step(g, st_z, p_z)
         p_r = jax.tree.map(lambda p, u: p + u, p_r, upd_r)
-        p_z = jax.tree.map(lambda p, u: p + u, p_z, upd_z)
         # 1e-5 >> fp32 psum reduction-order noise but << the ~2e-3
         # relative error of updating from UNROUNDED bf16 moments (the
         # bug this test pins).
-        _assert_params_close(upd_r, upd_z, rtol=1e-5, atol=1e-9)
+        _assert_params_close(p_r, p_z, rtol=1e-5, atol=1e-9)
     _assert_params_close(p_r, p_z, rtol=1e-5, atol=1e-9)
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 import re
 from typing import Any, Dict
 
+import jax
 import numpy as np
 
 _LAYER_RE = re.compile(r"^layer_(\d+)$")
@@ -130,33 +131,66 @@ def _target_is_scan(like: Any) -> bool | None:
     return None
 
 
-def _adapt_zero1_moments(raw: Any, like: Any) -> Any:
-    """Upgrade pre-v2 ZeRO-1 checkpoints: m/v moments were stored as ONE
-    flat 1-D [T_pad] vector; v2 stores them [T_pad // 8192, 8192]
-    (train/zero1.py Zero1State). Both pad with zeros past the true param
-    total and the moments of padding stay zero (their gradient is zero),
-    so conversion is copy-the-common-prefix + zero-fill. Walks any state
-    tree and fixes each {step, m, v} node whose checkpoint moments are 1-D
-    while the template's are 2-D."""
+def _rechunk_1d(src: Any, tgt: Any) -> Any:
+    """Copy a 1-D flat vector into the 2-D [rows, width] chunked layout
+    (prefix-copy + zero-fill; padding is zero in both layouts)."""
+    if getattr(src, "ndim", None) == 1 and getattr(tgt, "ndim", None) == 2:
+        flat = np.asarray(src)
+        rows, width = tgt.shape
+        new = np.zeros(rows * width, flat.dtype)
+        n = min(new.size, flat.size)
+        new[:n] = flat[:n]
+        return new.reshape(rows, width)
+    return src
+
+
+def _adapt_zero1_moments(raw: Any, like: Any, root_params: Any = None) -> Any:
+    """Upgrade old ZeRO-1 checkpoints to the current Zero1State layout
+    (train/zero1.py):
+
+      - pre-v2: m/v moments stored as ONE flat 1-D [T_pad] vector; v2+
+        stores [T_pad // 8192, 8192]. Both pad with zeros past the true
+        param total and padding moments stay zero (their gradient is
+        zero), so conversion is copy-the-common-prefix + zero-fill.
+      - pre-v3: no flat fp32 master-param vector ``p``. The master is
+        bitwise equal to the replicated param tree by construction, so it
+        is synthesized from the CHECKPOINT's own params (``root_params``,
+        the raw state dict's 'params' subtree) in jax.tree.leaves order —
+        exactly zero1.py's _flatten. A bare Zero1State checkpoint with no
+        params in the tree cannot be upgraded and fails loudly.
+
+    Walks any state tree and fixes each {step, m, v[, p]} node that
+    mismatches the template's."""
     if not (isinstance(raw, dict) and isinstance(like, dict)):
         return raw
-    if set(raw.keys()) == {"step", "m", "v"} and set(like.keys()) == {"step", "m", "v"}:
+    if root_params is None and "params" in raw:
+        root_params = raw["params"]
+    keys, lkeys = set(raw.keys()), set(like.keys())
+    if keys in ({"step", "m", "v"}, {"step", "m", "v", "p"}) and lkeys in (
+        {"step", "m", "v"}, {"step", "m", "v", "p"}
+    ):
         out = dict(raw)
         for k in ("m", "v"):
-            src, tgt = raw[k], like[k]
-            if (
-                getattr(src, "ndim", None) == 1
-                and getattr(tgt, "ndim", None) == 2
-            ):
-                flat = np.asarray(src)
-                rows, width = tgt.shape
-                new = np.zeros(rows * width, flat.dtype)
-                n = min(new.size, flat.size)
-                new[:n] = flat[:n]
-                out[k] = new.reshape(rows, width)
+            out[k] = _rechunk_1d(raw[k], like[k])
+        if "p" in lkeys and "p" not in keys:
+            if root_params is None:
+                raise ValueError(
+                    "cannot upgrade a pre-v3 ZeRO-1 checkpoint without its "
+                    "params: the flat fp32 master is rebuilt from the "
+                    "checkpoint's own 'params' subtree (train/zero1.py v3)"
+                )
+            leaves = [
+                np.asarray(l, np.float32).reshape(-1)
+                for l in jax.tree.leaves(root_params)
+            ]
+            flat = np.concatenate(leaves) if len(leaves) > 1 else leaves[0]
+            rows, width = like["p"].shape
+            new = np.zeros(rows * width, np.float32)
+            new[: flat.size] = flat
+            out["p"] = new.reshape(rows, width)
         return out
     return {
-        k: _adapt_zero1_moments(v, like[k]) if k in like else v
+        k: _adapt_zero1_moments(v, like[k], root_params) if k in like else v
         for k, v in raw.items()
     }
 
@@ -167,11 +201,11 @@ def adapt_layout(params: Dict, like: Dict) -> Dict:
     `like` is typically the freshly-initialized model params (or an
     eval_shape of them); it may also be a full train-state tree. Returns
     `params` unchanged when `like` contains no tower or layouts match.
-    Also upgrades pre-v2 1-D ZeRO-1 moment vectors to the current chunked
-    2-D layout (see _adapt_zero1_moments).
+    Also upgrades old ZeRO-1 states to the current Zero1State layout (see
+    _adapt_zero1_moments) — AFTER the tower-layout conversion, so a
+    synthesized v3 master is flattened in the template's leaf order.
     """
-    params = _adapt_zero1_moments(params, like)
     target_scan = _target_is_scan(like)
-    if target_scan is None:
-        return params
-    return to_scan_layout(params) if target_scan else to_loop_layout(params)
+    if target_scan is not None:
+        params = to_scan_layout(params) if target_scan else to_loop_layout(params)
+    return _adapt_zero1_moments(params, like)

@@ -142,8 +142,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "state/update over dp (train/zero1.py). Divides "
                         "optimizer memory and the HBM-bound update by the dp "
                         "size; numerically equivalent to the replicated "
-                        "optimizer (tests/test_zero1.py). Requires "
-                        "--tensor_parallel 1. No reference equivalent.")
+                        "optimizer (tests/test_zero1.py). Composes with "
+                        "--tensor_parallel > 1 via train/zero1_tp.py. "
+                        "No reference equivalent.")
     p.add_argument("--cache_dir", type=str, default="")
     p.add_argument("--fp16", action="store_true", help="bfloat16 compute on TPU")
     p.add_argument("--fp16_opt_level", type=str, default="O1")  # parity, unused
@@ -467,11 +468,16 @@ def make_trainer(args, model, n_train_batches: int, logger):
         ),
     )
     if zero1:
-        from univl_tpu.train.zero1 import make_univl_zero1_optimizer
-
         if tp > 1:
-            raise ValueError("--zero1 requires --tensor_parallel 1")
-        tx = make_univl_zero1_optimizer(dp=n_dev, **opt_kw)
+            # zero1 x tp (train/zero1_tp.py): flat dp-scattered path on the
+            # tp-replicated leaves, per-leaf adam on the tp-sharded ones
+            from univl_tpu.train.zero1_tp import make_univl_zero1_tp_optimizer
+
+            tx = make_univl_zero1_tp_optimizer(dp=n_dev // tp, tp=tp, **opt_kw)
+        else:
+            from univl_tpu.train.zero1 import make_univl_zero1_optimizer
+
+            tx = make_univl_zero1_optimizer(dp=n_dev, **opt_kw)
     else:
         tx = make_univl_optimizer(**opt_kw)
     trainer = Trainer(

@@ -140,7 +140,7 @@ class Trainer:
                 )
             from univl_tpu.train.zero1 import Zero1State
 
-            o_sh = Zero1State(step=repl, m=row_sh, v=row_sh)
+            o_sh = Zero1State(step=repl, m=row_sh, v=row_sh, p=row_sh)
             return jax.device_put(
                 state, TrainState(params=repl, opt_state=o_sh, step=repl)
             )
@@ -213,7 +213,14 @@ class Trainer:
             metrics = jax.lax.pmean(metrics, DP_AXIS)
 
             updates, new_opt_state = tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
+            if self.zero1:
+                # zero1 v3 contract (train/zero1.py): update_fn returns the
+                # NEW parameter tree (unflatten(all_gather(master))) — an
+                # apply_updates pass here would double-apply AND re-add the
+                # full-size read-read-write pass the redesign removed.
+                new_params = updates
+            else:
+                new_params = optax.apply_updates(params, updates)
             return new_params, new_opt_state, metrics
 
         if self.zero1 and self.tp_size > 1:

@@ -16,9 +16,18 @@ re-designed for the ICI collectives):
     (~4.4 ms/step on the 180M-param flagship, docs/PERF.md "MFU
     accounting") divides by the dp size, and optimizer memory drops from
     2x params per device to 2x/dp;
-  - ``lax.all_gather`` of the update shard restores the replicated
-    parameters (GPipe-free, one collective pair per step, both riding
-    ICI inside the compiled program).
+  - the fp32 MASTER PARAMETERS live flat in the optimizer state (v3):
+    the same [C, 8192] chunked layout as the moments, row-sharded over
+    dp. The shard update adds into the master shard directly and ONE
+    ``lax.all_gather`` of the new master restores the replicated
+    parameter tree (same wire bytes as v2's update all-gather, one
+    collective pair per step, both riding ICI inside the compiled
+    program). Keeping the master flat removes the two dp-invariant
+    full-size passes the v2 profile named (docs/PERF.md zero1 v2:
+    ~5.5 ms flatten DUS chains + 3.7 ms flat-buffer materializations):
+    the weight-decay term reads the master shard in place of
+    flatten(params)+dynamic_slice, and unflatten(all_gather(master))
+    REPLACES unflatten(update)+apply_updates instead of preceding it.
 
 Numerical contract: identical to the replicated
 ``optax.chain(clip_by_global_norm, bert_adam(...))`` path
@@ -31,9 +40,18 @@ multi-step equivalence on an 8-device mesh.
 Usage: construct with ``make_univl_zero1_optimizer(..., dp=mesh_dp)`` and
 pass to ``Trainer(..., zero1=True)``.  ``update_fn`` MUST run inside the
 trainer's ``shard_map`` (it issues dp-axis collectives); ``init_fn`` runs
-outside and returns GLOBAL [T_pad // _CHUNK, _CHUNK] moment arrays which
-the trainer places with a ``P('dp')`` (row-sharded) sharding.  Requires
-tp == 1 (params replicated within the dp group).
+outside and returns GLOBAL [T_pad // _CHUNK, _CHUNK] moment/master arrays
+which the trainer places with a ``P('dp')`` (row-sharded) sharding.
+Requires tp == 1 (params replicated within the dp group); with tp > 1
+use train/zero1_tp.py.
+
+CONTRACT DIVERGENCE from optax (v3): ``update_fn`` returns the NEW
+PARAMETER TREE, not an update tree — the trainer's zero1 branch consumes
+it directly instead of calling ``optax.apply_updates`` (the extra
+read-read-write pass over the full tree is the point of the redesign).
+The new tree is bitwise identical to ``params + update``: the master is
+initialized as flatten(params) and the shard add is the same elementwise
+fp32 add, just performed in the flat layout.
 """
 
 from __future__ import annotations
@@ -64,18 +82,26 @@ class Zero1State(NamedTuple):
     removes four per-step relayout passes between the 1-D ``T(1024)`` and
     2-D ``T(8,128)`` tilings — measured 1.86 ms each at flagship scale
     (docs/PERF.md). ``step`` is the replicated scalar step count.
+
+    ``p`` (v3) is the fp32 MASTER PARAMETER vector in the same row-chunked,
+    row-sharded layout. It is the authority the update adds into; the
+    replicated parameter tree handed back to the trainer each step is
+    unflatten(all_gather(p)) and stays bitwise equal to it. Costs
+    4*T_pad/dp bytes/device; buys back the two dp-invariant full-size
+    passes of the v2 profile (docs/PERF.md zero1 v3).
     """
 
     step: jax.Array
     m: jax.Array
     v: jax.Array
+    p: jax.Array
 
 
 def zero1_state_pspecs():
     """shard_map in/out PartitionSpecs for a Zero1State."""
     from jax.sharding import PartitionSpec as P
 
-    return Zero1State(step=P(), m=P(DP_AXIS), v=P(DP_AXIS))
+    return Zero1State(step=P(), m=P(DP_AXIS), v=P(DP_AXIS), p=P(DP_AXIS))
 
 
 class _Plan(NamedTuple):
@@ -243,7 +269,8 @@ def zero1_bert_adam(
 
     ``update_fn`` must be called INSIDE a shard_map over the ``dp`` axis
     with the UNREDUCED per-device gradient tree (it performs the mean via
-    psum_scatter itself).  Returns the full (all-gathered) update tree.
+    psum_scatter itself).  Returns the NEW (all-gathered) parameter tree —
+    NOT an optax update tree; see the module docstring (v3 contract).
     """
     sdt = jnp.dtype(state_dtype) if state_dtype else jnp.float32
     plan_cache: dict = {}
@@ -263,6 +290,9 @@ def zero1_bert_adam(
             step=jnp.zeros([], jnp.int32),
             m=jnp.zeros((plan.total_pad // _CHUNK, _CHUNK), sdt),
             v=jnp.zeros((plan.total_pad // _CHUNK, _CHUNK), sdt),
+            # master params are ALWAYS fp32 (state_dtype rounds only the
+            # moments) — they are the bitwise authority for the param tree
+            p=_flatten(params, plan.total_pad).reshape(-1, _CHUNK),
         )
 
     def update_fn(grads, state, params):
@@ -331,22 +361,28 @@ def zero1_bert_adam(
         upd = a_vals[rp.seg_row][:, None] * ahat
         fix = da[:, None] * rp.maskj * ahat[rp.rows_b]
         if weight_decay > 0.0:
-            flat_p = _flatten(params, plan.total_pad)
-            p = jax.lax.dynamic_slice(flat_p, (start,), (plan.shard,))
-            p = p.reshape(C, _CHUNK)
+            # v3: the weight-decay term reads this rank's MASTER shard in
+            # place of v2's flatten(params) + dynamic_slice — the first of
+            # the two dp-invariant full-size passes the v2 profile named.
+            p = state.p
             b_vals = weight_decay * a_vals * jnp.asarray(plan.leaf_decay)
             db = (b_vals[1:] - b_vals[:-1]) * rp.valid
             upd = upd + b_vals[rp.seg_row][:, None] * p
             fix = fix + db[:, None] * rp.maskj * p[rp.rows_b]
         upd = upd.at[rp.rows_b].add(fix)
 
-        # Re-assemble the full update (the only gather in the step; one
-        # shard-sized relayout out).
-        upd_flat = jax.lax.all_gather(
-            upd.reshape(plan.shard), DP_AXIS, tiled=True
+        # v3: add into the master SHARD (fp32, elementwise — same values as
+        # v2's per-leaf params+update, so bitwise identical), then ONE
+        # all-gather of the new master re-assembles the replicated params
+        # directly (the only gather in the step; same wire bytes as v2's
+        # update gather, but the unflatten now PRODUCES the new param tree
+        # instead of preceding a full-size apply_updates pass).
+        new_p = state.p + upd
+        p_flat = jax.lax.all_gather(
+            new_p.reshape(plan.shard), DP_AXIS, tiled=True
         )
-        updates = _unflatten(upd_flat, params, plan)
-        return updates, Zero1State(step=state.step + 1, m=m, v=v)
+        new_params = _unflatten(p_flat, params, plan)
+        return new_params, Zero1State(step=state.step + 1, m=m, v=v, p=new_p)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -365,6 +401,7 @@ def zero1_state_from_replicated(params, chain_state, dp: int,
         step=jnp.asarray(adam.step, jnp.int32),
         m=_flatten(adam.m, plan.total_pad).astype(sdt).reshape(-1, _CHUNK),
         v=_flatten(adam.v, plan.total_pad).astype(sdt).reshape(-1, _CHUNK),
+        p=_flatten(params, plan.total_pad).reshape(-1, _CHUNK),
     )
 
 

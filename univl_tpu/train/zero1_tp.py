@@ -97,7 +97,11 @@ def zero1_tp_bert_adam(
     ``optax.chain(clip_by_global_norm, bert_adam(...))``.
 
     ``flat_mask_fn(params) -> tree[bool]``: True = tp-replicated leaf
-    (flat ZeRO-1 path over dp); False = tp-sharded leaf (per-leaf adam)."""
+    (flat ZeRO-1 path over dp); False = tp-sharded leaf (per-leaf adam).
+
+    v3 contract (matches zero1_bert_adam): ``update_fn`` returns the NEW
+    PARAMETER TREE, not an optax update tree — the trainer's zero1 branch
+    consumes it directly instead of calling ``optax.apply_updates``."""
     sdt = jnp.dtype(state_dtype) if state_dtype else jnp.float32
     cache: dict = {}
 
@@ -262,21 +266,30 @@ def zero1_tp_bert_adam(
                 u = u + weight_decay * p.astype(jnp.float32)
             leaf_upd[i] = -(lr_t * float(s_all[i])) * u
 
-        # ---- interleave the two groups back into the params order ----
+        # ---- interleave the two groups back into the params order,
+        # applying the update in place (v3 contract: update_fn returns the
+        # NEW PARAMETER TREE, matching zero1_bert_adam — the trainer's
+        # zero1 branch consumes it without an optax.apply_updates pass) ----
         out, j = [], 0
         for i, k in enumerate(keep):
             if k:
-                out.append(sub_upd_leaves[j])
+                out.append(
+                    (sub_p_leaves[j].astype(jnp.float32) + sub_upd_leaves[j])
+                    .astype(p_leaves[i].dtype)
+                )
                 j += 1
             else:
-                out.append(leaf_upd[i].astype(p_leaves[i].dtype))
-        updates = jax.tree.unflatten(struct, out)
+                out.append(
+                    (p_leaves[i].astype(jnp.float32) + leaf_upd[i])
+                    .astype(p_leaves[i].dtype)
+                )
+        new_params = jax.tree.unflatten(struct, out)
         new_state = Zero1TpState(
             step=state.step + 1, m=m, v=v,
             leaf_m=jax.tree.unflatten(struct, new_lm),
             leaf_v=jax.tree.unflatten(struct, new_lv),
         )
-        return updates, new_state
+        return new_params, new_state
 
     return optax.GradientTransformation(init_fn, update_fn)
 
