@@ -5,8 +5,12 @@ YouCook2 caption eval config (B=16, beam 5, max_words=128, 3-layer decoder)
 and times the ceiling by chaining N decodes with ONE host fetch (the axon
 tunnel does not synchronize on block_until_ready — docs/PERF.md).
 
-Usage: python tools/profile_decode.py <out_dir> [n_timed=5]
+Usage: python tools/profile_decode.py <out_dir> [n_timed=5] [max_len=128] [fused|unfused]
 Then:  python tools/hlo_top.py <out_dir> 25 1   (totals = one decode batch)
+
+max_len=32 + fused profiles the production FLOOR regime (the bucket-32
+phase real captions exit inside) with both decode kernels ON — the
+config behind docs/PERF.md's 21.9 ms/batch16 number.
 """
 
 from __future__ import annotations
@@ -25,6 +29,8 @@ import jax.numpy as jnp
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else None
     n_timed = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    req_max_len = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    fused = len(sys.argv) > 4 and sys.argv[4] == "fused"
 
     if jax.default_backend() == "tpu":
         jax.config.update("jax_default_prng_impl", "rbg")
@@ -34,7 +40,7 @@ def main():
     from univl_tpu.evals.beam import make_fast_beam_decode_fn
 
     on_tpu = jax.default_backend() == "tpu"
-    B, K, max_len = 16, 5, 128
+    B, K, max_len = 16, 5, req_max_len
     cfg = UniVLConfig.base(
         compute_dtype="bfloat16" if on_tpu else "float32",
         use_pallas=False,
@@ -74,8 +80,10 @@ def main():
     # eos_id=-1 never matches a sampled token -> every decode runs the full
     # 128-step ceiling (the worst case; real captions exit at ~20-30 steps).
     decode = make_fast_beam_decode_fn(
-        model, beam_size=K, max_len=max_len, bos_id=101, eos_id=-1, pad_id=0
+        model, beam_size=K, max_len=max_len, bos_id=101, eos_id=-1, pad_id=0,
+        fused_decode=fused or None, fused_vocab=fused or None,
     )
+    print(f"max_len={max_len} fused={fused}", flush=True)
 
     args = (params, seq_out, vis_out, batch["attention_mask"], batch["video_mask"])
     t0 = time.time()
