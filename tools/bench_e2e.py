@@ -168,10 +168,55 @@ def run_caption(args):
                   f"ms/batch{batch} = {batch / dt:.1f} clips/s", flush=True)
         return
 
+    if args.ab_prefetch:
+        # Interleave no-prefetch / prefetch windows in ONE process (same
+        # compiled fns, same protocol as --ab: tunnel drift between
+        # processes swamps loop-structure deltas). Both variants consume
+        # freshly-built host batches — prefetch overlaps building + upload
+        # with the decode the consumer thread is blocked in.
+        from univl_tpu.data.batching import prefetch_to_device
+
+        gen = make_gen(fused, fused_v)
+        print(f"dataset: {len(ds)} clips; beam 5, max_len 48, batch "
+              f"{batch}; A/B prefetch vs serial "
+              f"(transfer={args.transfer_dtype})", flush=True)
+        for b in batches(args.warm_steps):
+            texts = gen.generate(b)
+        assert len(texts) == batch
+        win = max(1, args.steps // 3)
+        best = {"serial  ": float("inf"), "prefetch": float("inf")}
+        for trial in range(3):
+            for name in best:
+                it = batches(win)
+                if name == "prefetch":
+                    it = prefetch_to_device(
+                        it, put=jax.device_put, put_in_worker=True)
+                t0 = time.perf_counter()
+                for b in it:
+                    gen.generate(b)
+                dt = (time.perf_counter() - t0) / win
+                best[name] = min(best[name], dt)
+                print(f"  {name} window{trial}: {dt * 1e3:.1f} "
+                      f"ms/batch{batch}", flush=True)
+        for name, dt in best.items():
+            print(f"e2e caption A/B {name.strip()}: best {dt * 1e3:.1f} "
+                  f"ms/batch{batch} = {batch / dt:.1f} clips/s "
+                  f"(transfer={args.transfer_dtype})", flush=True)
+        return
+
     gen = make_gen(fused, fused_v)
+    prefetch = not args.no_prefetch
     print(f"dataset: {len(ds)} clips; beam 5, max_len 48, batch {batch}, "
-          f"fused_decode={fused} fused_vocab={fused_v}", flush=True)
+          f"fused_decode={fused} fused_vocab={fused_v} prefetch={prefetch}",
+          flush=True)
     it = batches(args.warm_steps + args.steps)
+    if prefetch:
+        # same shape as cli/task_caption.py's eval loop: worker-side
+        # device_put overlaps batch-building + upload with the decode the
+        # consumer thread is blocked in
+        from univl_tpu.data.batching import prefetch_to_device
+
+        it = prefetch_to_device(it, put=jax.device_put, put_in_worker=True)
     texts = []
     for _ in range(args.warm_steps):  # compile + warm
         texts = gen.generate(next(it))
@@ -183,7 +228,8 @@ def run_caption(args):
     dt = (time.perf_counter() - t0) / args.steps
     print(
         f"e2e caption eval steps={args.steps}: {dt * 1e3:.1f} ms/batch{batch}"
-        f" = {n_out / (dt * args.steps):.1f} clips/s",
+        f" = {n_out / (dt * args.steps):.1f} clips/s "
+        f"(transfer={args.transfer_dtype} prefetch={prefetch})",
         flush=True,
     )
 
@@ -198,6 +244,9 @@ def main():
     ap.add_argument("--warm_steps", type=int, default=8)
     ap.add_argument("--no_fused_decode", action="store_true")
     ap.add_argument("--no_fused_vocab", action="store_true")
+    ap.add_argument("--ab_prefetch", action="store_true",
+                    help="caption only: interleave prefetch vs serial eval "
+                         "loop windows in ONE process")
     ap.add_argument("--ab", action="store_true",
                     help="caption only: interleave fused vs unfused in ONE "
                          "process (tunnel drift between processes swamps "

@@ -85,10 +85,30 @@ def main(argv=None):
         hyps, refs = [], []
         b = Batcher(test_ds, eval_bs, shuffle=False, drop_last=False)
         keys = ("input_ids", "token_type_ids", "attention_mask", "video", "video_mask")
+
+        def host_iter():
+            for batch in b.epoch(0):
+                n = next(iter(batch.values())).shape[0]
+                yield n, {k: _pad_rows(batch[k], eval_bs) for k in keys}
+
+        # The eval loop is transfer-bound on slow links (docs/PERF.md
+        # caption e2e): generate() blocks fetching the decoded tokens, so
+        # without a prefetch thread the NEXT batch's host->device upload
+        # cannot start until the current decode round-trips. Worker-side
+        # device_put overlaps batch-building + upload with the running
+        # decode (put_in_worker=False would not: the consumer thread is
+        # blocked inside generate() for the whole step).
+        stream = host_iter()
+        if not getattr(args, "no_prefetch", False):
+            from univl_tpu.data.batching import prefetch_to_device
+
+            stream = prefetch_to_device(
+                stream,
+                put=lambda t: (t[0], jax.device_put(t[1])),
+                put_in_worker=True,
+            )
         idx = 0
-        for batch in b.epoch(0):
-            n = next(iter(batch.values())).shape[0]
-            padded = {k: _pad_rows(batch[k], eval_bs) for k in keys}
+        for n, padded in stream:
             texts = gen.generate(padded)[:n]
             hyps.extend(texts)
             for i in range(n):

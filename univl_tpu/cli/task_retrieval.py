@@ -91,7 +91,17 @@ def main(argv=None):
 
     def eval_fn(p, epoch=None):
         ev = RetrievalEvaluator(model, {"params": p}, batch_size=args.batch_size_val)
-        return ev.evaluate(eval_batches(test_ds, args.batch_size_val), mode=mode)
+        batches = eval_batches(test_ds, args.batch_size_val)
+        if not getattr(args, "no_prefetch", False):
+            # Overlap disk reads + tokenization with the device encode
+            # loop (host-thread only: encode_dataset pads and downloads
+            # host-side, so batches must stay numpy — put=identity).
+            from univl_tpu.data.batching import prefetch_to_device
+
+            batches = prefetch_to_device(
+                batches, put=lambda b: b, put_in_worker=True
+            )
+        return ev.evaluate(batches, mode=mode)
 
     if args.do_train:
         batcher = Batcher(
