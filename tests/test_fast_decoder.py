@@ -107,6 +107,21 @@ def test_sharded_caption_generation_matches_single(setup, tmp_path):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 
 
+def test_fast_beam_expanded_enc_kv_matches_full_beam(setup, monkeypatch):
+    """UNIVL_TPU_SHARED_ENC_KV=0 restores the beam-EXPANDED encoder-K/V
+    layout ([B*K, H, Lenc, D], Lq=1) in place of the default beam-shared
+    one ([B, H, Lenc, D], Lq=K; evals/beam.py round 4) — both must match
+    the full-prefix beam."""
+    cfg, model, params, batch, seq, vis, _, _ = setup
+    monkeypatch.setenv("UNIVL_TPU_SHARED_ENC_KV", "0")
+    slow = make_beam_decode_fn(model, 4, 12, bos_id=2, eos_id=3)
+    fast = make_fast_beam_decode_fn(model, 4, 12, bos_id=2, eos_id=3)
+    t1, s1 = slow(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
 def test_fast_beam_matches_full_beam_fused_ln(setup, monkeypatch):
     """The opt-in UNIVL_TPU_FUSED_LN=1 Pallas-LayerNorm swap must preserve
     the KV-cache <-> full-prefix bit-identity invariant (CLAUDE.md): the

@@ -15,7 +15,11 @@ main_task_caption.py:446-455 predict_word -> modeling.py:393-407.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -193,13 +193,29 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
             params, sequence_output, visual_output, attention_mask, video_mask,
             method=UniVL.get_cross_output,
         )
-        cross_rep = jnp.repeat(cross_out, K, axis=0)
-        mask_rep = jnp.repeat(concat_mask, K, axis=0)
-        enc_bias = ((1.0 - mask_rep.astype(jnp.float32)) * -10000.0)[:, None, None, :]
+        # Beam-shared encoder K/V: precomputed PER INSTANCE [B, H, Lenc, D]
+        # (NOT beam-expanded to B*K rows) — _layer_tail folds the beam dim
+        # into the attention query length, so each step streams the enc
+        # K/V from HBM once per instance instead of K times (the round-4
+        # floor profile's largest cluster; floor 21.9 -> 15.3, ceiling
+        # 115.7 -> 87.2 ms/batch16, docs/PERF.md). Token trajectories are
+        # pinned identical to the full-prefix beam (tests/test_fast_decoder
+        # .py); on-chip the Lq=K MXU tiling shifts logits at bf16 tolerance
+        # (measured 1.1e-2 worst |dlogp| over a forced 31-step trajectory,
+        # tools/verify_beam_shared_enc.py). UNIVL_TPU_SHARED_ENC_KV=0
+        # restores the beam-expanded layout (and its exact lowering).
+        _shared_enc = os.environ.get(
+            "UNIVL_TPU_SHARED_ENC_KV", ""
+        ).strip().lower() not in ("0", "false", "off", "no")
+        enc_src, enc_msk = cross_out, concat_mask
+        if not _shared_enc:
+            enc_src = jnp.repeat(cross_out, K, axis=0)
+            enc_msk = jnp.repeat(concat_mask, K, axis=0)
+        enc_bias = ((1.0 - enc_msk.astype(jnp.float32)) * -10000.0)[:, None, None, :]
 
         cache_dtype = jnp.dtype(model.cfg.compute_dtype)
         fd = FastDecoder(model.cfg.decoder, params["params"])
-        enc_kv = fd.precompute_enc_kv(cross_rep.astype(cache_dtype))
+        enc_kv = fd.precompute_enc_kv(enc_src.astype(cache_dtype))
         buckets = _cache_buckets(max_len)
         cache0 = fd.init_cache(B * K, buckets[0], dtype=cache_dtype)
         if _use_fused_vocab:

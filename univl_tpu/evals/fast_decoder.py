@@ -114,21 +114,53 @@ class FastDecoder:
 
         enc = lp["enc_attn"]
         ek, ev = enc_kv_i
-        q2 = self._split(_dense(slf_out, enc["query"]))
-        scores2 = (
-            jnp.einsum(
-                "bhqd,bhkd->bhqk", q2, ek,
-                preferred_element_type=jnp.float32,
+        q2 = self._split(_dense(slf_out, enc["query"]))  # [B, H, 1, D]
+        if ek.shape[0] != B:
+            # Beam-shared encoder K/V: enc_kv was precomputed PER INSTANCE
+            # ([B/K, H, Lenc, D]) instead of per beam row. The K beams of
+            # one instance attend to identical K/V, so folding the beam dim
+            # into the attention QUERY length (Lq=K) streams each
+            # instance's K/V from HBM once per step instead of K times —
+            # the floor profile's largest cluster (3x(1.11+0.84) ms of
+            # [B*K,H,Lenc,D] enc-attn reads, docs/PERF.md round-4 floor).
+            # Rows are instance-major/beam-minor (seqs[:, :, t].reshape
+            # (B*K) in evals/beam.py), matching this reshape. Each output
+            # element is the same dot product over the same contraction
+            # order as the expanded layout — bit-identity preserved
+            # (tests/test_fast_decoder.py).
+            Be = ek.shape[0]
+            G = B // Be
+            q2g = q2.reshape(Be, G, self.heads, self.head_dim)
+            q2g = q2g.transpose(0, 2, 1, 3)  # [Be, H, G, D]
+            scores2 = (
+                jnp.einsum(
+                    "bhgd,bhkd->bhgk", q2g, ek,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
             )
-            * scale
-        )
-        scores2 = scores2 + enc_bias.astype(jnp.float32)
-        probs2 = jax.nn.softmax(scores2, axis=-1).astype(x.dtype)
-        ctx2 = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs2, ev,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
-        ctx2 = ctx2.transpose(0, 2, 1, 3).reshape(B, 1, -1)
+            scores2 = scores2 + enc_bias.astype(jnp.float32)
+            probs2 = jax.nn.softmax(scores2, axis=-1).astype(x.dtype)
+            ctx2 = jnp.einsum(
+                "bhgk,bhkd->bhgd", probs2, ev,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            ctx2 = ctx2.transpose(0, 2, 1, 3).reshape(B, 1, -1)
+        else:
+            scores2 = (
+                jnp.einsum(
+                    "bhqd,bhkd->bhqk", q2, ek,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            scores2 = scores2 + enc_bias.astype(jnp.float32)
+            probs2 = jax.nn.softmax(scores2, axis=-1).astype(x.dtype)
+            ctx2 = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs2, ev,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            ctx2 = ctx2.transpose(0, 2, 1, 3).reshape(B, 1, -1)
         enc_out = _ln(
             _dense(ctx2, lp["enc_attn_output"]["dense"]) + slf_out,
             lp["enc_attn_output"]["ln"],
