@@ -19,6 +19,12 @@ drivers use.
     fused vocab-top-k kernels get a real-input end-to-end number beside
     their device deltas. Reference being compared: beam search in
     main_task_caption.py:406-470.
+  --task retrieval: the joint-mode retrieval EVAL exactly as
+    cli/task_retrieval.py runs it (Batcher -> RetrievalEvaluator
+    encode_dataset -> pooled sim matrix -> R@K), timed per full evaluate()
+    pass with the serial vs host-prefetch loop interleaved (--ab_prefetch)
+    — the measurement behind the round-4 eval-prefetch change. Reference
+    being compared: eval_epoch in main_task_retrieval.py:360-460.
 
 The gap between these numbers and bench.py's is the input pipeline + the
 host->device link (a ~30 MB/s 25 ms-RTT tunnel here; PCIe on a local TPU
@@ -41,6 +47,83 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def run_retrieval(args):
+    """Joint-mode retrieval eval e2e: disk features -> Batcher ->
+    encode_dataset -> pooled sim matrix -> R@K, whole evaluate() passes,
+    serial vs host-prefetch loop interleaved in one process (the round-4
+    eval-prefetch A/B)."""
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    from univl_tpu.config import UniVLConfig
+    from univl_tpu.data import fixtures
+    from univl_tpu.data.batching import Batcher, cast_floats, prefetch_to_device
+    from univl_tpu.data.tokenization import WordPieceTokenizer
+    from univl_tpu.data.youcook import YoucookRetrievalDataset
+    from univl_tpu.evals.retrieval import RetrievalEvaluator
+    from univl_tpu.models.univl import UniVL
+
+    tmp = tempfile.mkdtemp(prefix="univl_e2e_ret_")
+    vocab = fixtures.make_vocab(os.path.join(tmp, "vocab.txt"))
+    csv_path, data_path, feat_path = fixtures.make_youcook(
+        tmp, n_videos=64, clips_per_video=8, video_dim=1024,
+    )
+    tok = WordPieceTokenizer(vocab)
+    ds = YoucookRetrievalDataset(
+        csv_path, data_path, feat_path, tok,
+        max_words=48, feature_framerate=1.0, max_frames=48,
+    )
+    bs = 32
+    cfg = UniVLConfig.base(
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        use_pallas=False, batch_size_per_device=bs,
+    )
+    model = UniVL(cfg)
+    example = {k: np.stack([v] * bs) for k, v in ds[0].items()}
+    params = jax.jit(
+        lambda r: model.init(r, example, deterministic=True)
+    )(jax.random.key(0))
+    keys = ("input_ids", "token_type_ids", "attention_mask", "video",
+            "video_mask")
+
+    def host_iter():
+        b = Batcher(ds, bs, shuffle=False, drop_last=False, grad_accum=1)
+        for batch in b.epoch(0):
+            out = {k: batch[k] for k in keys}
+            if args.transfer_dtype != "float32":
+                out = cast_floats(out, args.transfer_dtype)
+            yield out
+
+    ev = RetrievalEvaluator(model, params, batch_size=bs)
+
+    def one_pass(prefetch):
+        it = host_iter()
+        if prefetch:
+            # the driver's shape (cli/task_retrieval.py): host-thread only,
+            # batches stay numpy (encode_dataset pads/downloads host-side)
+            it = prefetch_to_device(it, put=lambda b: b, put_in_worker=True)
+        t0 = time.perf_counter()
+        m = ev.evaluate(it, mode="joint")
+        return time.perf_counter() - t0, m
+
+    dt, m = one_pass(False)  # compile + warm
+    print(f"dataset: {len(ds)} clips; batch {bs}; joint mode; warm pass "
+          f"{dt:.1f}s R@1={m['R1']:.3f} (transfer={args.transfer_dtype})",
+          flush=True)
+    best = {"serial  ": float("inf"), "prefetch": float("inf")}
+    for trial in range(3):
+        for name in best:
+            dt, _ = one_pass(name == "prefetch")
+            best[name] = min(best[name], dt)
+            print(f"  {name} pass{trial}: {dt * 1e3:.0f} ms "
+                  f"({len(ds) / dt:.0f} clips/s)", flush=True)
+    for name, dt in best.items():
+        print(f"e2e retrieval eval A/B {name.strip()}: best {dt * 1e3:.0f} "
+              f"ms = {len(ds) / dt:.0f} clips/s "
+              f"(transfer={args.transfer_dtype})", flush=True)
 
 
 def run_caption(args):
@@ -236,7 +319,7 @@ def run_caption(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", default="train", choices=["train", "caption"])
+    ap.add_argument("--task", default="train", choices=["train", "caption", "retrieval"])
     ap.add_argument("--transfer_dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--no_prefetch", action="store_true")
@@ -254,6 +337,8 @@ def main():
     args = ap.parse_args()
     if args.task == "caption":
         return run_caption(args)
+    if args.task == "retrieval":
+        return run_retrieval(args)
 
     import jax
 
