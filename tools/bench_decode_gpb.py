@@ -1,0 +1,97 @@
+"""Sweep groups_per_block for the fused beam-decode attention kernel.
+
+The round-4 floor profile (docs/PERF.md) measured this kernel at ~53
+us/layer-step at L=32 vs ~19 us of raw cache bytes; the hypothesis is
+per-grid-program DMA latency (16 programs of ~1 MB each). gpb > 1
+processes several beam groups per program — fewer, larger block DMAs —
+with bitwise-identical outputs (pinned in interpret mode; the grouping
+changes only the block partitioning, not any reduction).
+
+Times the kernel chained over a fori_loop position sweep (ONE host
+fetch; axon does not sync on block_until_ready), donate=True (the
+production configuration), at the floor (L=32) and ceiling (L=128)
+cache sizes.
+
+Usage: python tools/bench_decode_gpb.py [n_steps=192] [trials=3]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from univl_tpu.kernels.decode_attention import beam_decode_self_attention
+
+B, K, H, D = 16, 5, 12, 64
+N = B * K
+dtype = jnp.bfloat16
+
+
+def make_args(L, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(N, H, D), dtype)
+    kn = jnp.asarray(rng.randn(N, H, D), dtype)
+    vn = jnp.asarray(rng.randn(N, H, D), dtype)
+    kc = jnp.asarray(rng.randn(N, H, L, D), dtype)
+    vc = jnp.asarray(rng.randn(N, H, L, D), dtype)
+    perm = jnp.asarray(rng.randint(0, K, (N,)), jnp.int32)
+    return q, kn, vn, kc, vc, perm
+
+
+@partial(jax.jit, static_argnames=("n_steps", "gpb", "L"))
+def run(q, kn, vn, kc, vc, perm, n_steps: int, gpb: int, L: int):
+    def body(i, carry):
+        kc, vc, acc = carry
+        t = jnp.minimum(i, L - 1)
+        ctx, kc, vc = beam_decode_self_attention(
+            q, kn, vn, kc, vc, perm, t, K,
+            scale=1.0 / np.sqrt(D), groups_per_block=gpb,
+        )
+        return kc, vc, acc + jnp.sum(ctx.astype(jnp.float32))
+
+    kc, vc, acc = jax.lax.fori_loop(
+        0, n_steps, body, (kc, vc, jnp.float32(0.0))
+    )
+    return acc
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    for L in (32, 128):
+        cache_mb = 2 * N * H * L * D * 2 / 1e6
+        print(f"L={L}: K+V={cache_mb:.1f} MB, {n_steps} chained steps",
+              flush=True)
+        accs = {}
+        for gpb in (1, 2, 4, 8, 16):
+            args = make_args(L)
+            _ = float(run(*args, n_steps=n_steps, gpb=gpb, L=L))  # compile
+            best = float("inf")
+            for tr in range(trials):
+                args = make_args(L, tr)
+                t0 = time.time()
+                acc = float(run(*args, n_steps=n_steps, gpb=gpb, L=L))
+                dt = (time.time() - t0) / n_steps
+                best = min(best, dt)
+                accs.setdefault(gpb, []).append(acc)
+            gbps = 2 * cache_mb / 1e3 / best
+            print(f"  gpb={gpb:2d}: best {best * 1e6:6.1f} us/step "
+                  f"({gbps:.0f} GB/s vs ~820 roofline)", flush=True)
+        # same-seed accumulators must agree across gpb (same math)
+        base = accs[1]
+        for gpb, a in accs.items():
+            for x, y in zip(base, a):
+                assert abs(x - y) < 1e-3 * max(1.0, abs(x)), (gpb, x, y)
+        print(f"  accs consistent across gpb at L={L}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,7 @@ tests/test_fast_decoder.py.
 from __future__ import annotations
 
 import math
+import os
 
 from typing import Dict, Tuple
 
@@ -279,9 +280,13 @@ class FastDecoder:
             k_t = _dense(x, slf["key"])[:, 0].reshape(B, self.heads, self.head_dim)
             v_t = _dense(x, slf["value"])[:, 0].reshape(B, self.heads, self.head_dim)
             ck, cv = cache[i]
+            # UNIVL_TPU_DECODE_GPB: beam groups per Pallas grid program
+            # (kernels/decode_attention.py groups_per_block) — fewer,
+            # larger block DMAs amortize per-program transfer latency.
+            gpb = int(os.environ.get("UNIVL_TPU_DECODE_GPB", "1") or "1")
             ctx, ck, cv = beam_decode_self_attention(
                 q, k_t, v_t, ck, cv, perm, t, group,
-                scale=scale, interpret=interpret,
+                scale=scale, interpret=interpret, groups_per_block=gpb,
             )
             new_cache.append((ck, cv))
             x = self._layer_tail(

@@ -55,6 +55,7 @@ def beam_decode_self_attention(
     scale: float,
     interpret: bool = False,
     donate: bool = True,
+    groups_per_block: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (ctx [N, H, D], new_k_cache, new_v_cache).
 
@@ -80,6 +81,16 @@ def beam_decode_self_attention(
     assert n % group == 0, (n, group)
     assert q.shape == (n, h, d), (q.shape, (n, h, d))
     dtype = k_cache.dtype
+    # groups_per_block > 1 processes several K-row groups per grid program
+    # (block rows = gpb*group): fewer, larger block DMAs amortize the
+    # per-program transfer latency the floor profile attributes ~2/3 of
+    # this kernel's time to (raw cache bytes ~19 us/call vs ~53 us
+    # measured at L=32; docs/PERF.md round-4 floor). Beam groups stay
+    # independent — the permutation is still applied within each group.
+    gpb = groups_per_block
+    if n % (group * gpb) != 0:
+        gpb = 1
+    rows_b = group * gpb
 
     def kern(idx_ref, t_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
              ctx_ref, ko_ref, vo_ref):
@@ -95,16 +106,21 @@ def beam_decode_self_attention(
         # Donated buffers: the in/out cache blocks share VMEM, so EVERY
         # source row must be loaded into values before the first store
         # (same hazard + discipline as kernels/reorder.py; guarded on-chip
-        # by tools/tpu_checks.py).
-        ks = [kc_ref[pl.ds(idx_ref[g * group + kk], 1)] for kk in range(group)]
-        vs = [vc_ref[pl.ds(idx_ref[g * group + kk], 1)] for kk in range(group)]
+        # by tools/tpu_checks.py). Source rows are group-local: block row
+        # j*group + idx_ref[global_row].
+        ks, vs = [], []
+        for j in range(gpb):
+            for kk in range(group):
+                src = j * group + idx_ref[(g * gpb + j) * group + kk]
+                ks.append(kc_ref[pl.ds(src, 1)])
+                vs.append(vc_ref[pl.ds(src, 1)])
 
-        for kk in range(group):
+        for r in range(rows_b):
             # fold the step-t K/V rows ([1, H, 1, D]) into the slabs
-            k_slab = jnp.where(at_t, kn_ref[pl.ds(kk, 1)], ks[kk])
-            v_slab = jnp.where(at_t, vn_ref[pl.ds(kk, 1)], vs[kk])
+            k_slab = jnp.where(at_t, kn_ref[pl.ds(r, 1)], ks[r])
+            v_slab = jnp.where(at_t, vn_ref[pl.ds(r, 1)], vs[r])
 
-            qf = q_ref[pl.ds(kk, 1)].astype(jnp.float32)   # [1, H, 1, D]
+            qf = q_ref[pl.ds(r, 1)].astype(jnp.float32)    # [1, H, 1, D]
             scores = jnp.sum(
                 qf * k_slab.astype(jnp.float32), axis=-1
             ) * scale                                      # [1, H, L] f32
@@ -115,21 +131,21 @@ def beam_decode_self_attention(
                 probs[:, :, :, None] * v_slab.astype(jnp.float32),
                 axis=2,
             )                                              # [1, H, D] f32
-            ctx_ref[pl.ds(kk, 1)] = ctx.astype(dtype)
-            ko_ref[pl.ds(kk, 1)] = k_slab.astype(dtype)
-            vo_ref[pl.ds(kk, 1)] = v_slab.astype(dtype)
+            ctx_ref[pl.ds(r, 1)] = ctx.astype(dtype)
+            ko_ref[pl.ds(r, 1)] = k_slab.astype(dtype)
+            vo_ref[pl.ds(r, 1)] = v_slab.astype(dtype)
 
     def row_spec(last_dims):
         nd = len(last_dims)
         return pl.BlockSpec(
-            (group,) + last_dims,
+            (rows_b,) + last_dims,
             lambda i, idx_ref, t_ref, _nd=nd: (i,) + (0,) * _nd,
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n // group,),
+        grid=(n // rows_b,),
         in_specs=[
             row_spec((h, 1, d)),       # q
             row_spec((h, 1, d)),       # k_new
