@@ -15,7 +15,10 @@ the expanded enc K/V, once with the per-instance grouped layout, and
 compares per-step log-probs on the REAL chip (CPU bit-identity is pinned
 by tests/test_fast_decoder.py; the MXU's bf16 tiling is what this checks).
 
-Exits 1 if max |Δlogp| > 1e-4. Usage: python tools/verify_beam_shared_enc.py
+Exits 1 if max |Δlogp| exceeds the backend tolerance: 5e-2 on TPU (the
+Lq=K layout retiles the bf16 MXU contractions — measured 1.1e-2 worst
+over 31 forced steps, docs/PERF.md round-4) or 1e-4 on CPU (f32, where
+the layouts are bit-identical). Usage: python tools/verify_beam_shared_enc.py
 """
 
 from __future__ import annotations

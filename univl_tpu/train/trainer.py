@@ -96,6 +96,23 @@ class Trainer:
         # leaves run per-leaf adam (moments GSPMD-sharded over tp),
         # tp-replicated leaves keep the flat dp-scattered path.
         self.zero1 = zero1
+        # The zero1 transforms return the NEW param tree from update()
+        # (Zero1Transformation.applies_params, train/zero1.py) and the
+        # zero1 branch below consumes it directly; a mismatched pairing
+        # would silently double-apply params — fail loudly instead.
+        tx_applies = getattr(tx, "applies_params", False)
+        if zero1 and not tx_applies:
+            raise ValueError(
+                "Trainer(zero1=True) requires a Zero1Transformation "
+                "(make_univl_zero1_optimizer / make_univl_zero1_tp_optimizer); "
+                f"got a standard optax transform {type(tx).__name__}"
+            )
+        if not zero1 and tx_applies:
+            raise ValueError(
+                "tx is a Zero1Transformation (update() returns the new param "
+                "tree) but Trainer(zero1=False) would optax.apply_updates it "
+                "— pass zero1=True"
+            )
         # Per-step XLA overrides (e.g. the latency-hiding scheduler A/B in
         # docs/PERF.md); defaults from UNIVL_TPU_XLA_OPTIONS so bench.py and
         # every CLI driver can A/B scheduling knobs without code changes.

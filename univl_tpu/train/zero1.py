@@ -72,6 +72,19 @@ from univl_tpu.train.optimization import (
 )
 
 
+class Zero1Transformation(optax.GradientTransformation):
+    """A ``GradientTransformation`` whose ``update`` returns the NEW
+    PARAMETER TREE, not an update tree (the v3 contract divergence in the
+    module docstring). The ``applies_params`` marker lets ``Trainer``
+    verify the pairing: ``zero1=True`` requires it, ``zero1=False``
+    rejects it — so a mismatched tx fails loudly at construction instead
+    of silently double-applying params via ``optax.apply_updates``.
+    Never feed one of these to ``optax.apply_updates`` or into an
+    ``optax.chain``."""
+
+    applies_params = True
+
+
 class Zero1State(NamedTuple):
     """Sharded BertAdam state.
 
@@ -384,7 +397,7 @@ def zero1_bert_adam(
         new_params = _unflatten(p_flat, params, plan)
         return new_params, Zero1State(step=state.step + 1, m=m, v=v, p=new_p)
 
-    return optax.GradientTransformation(init_fn, update_fn)
+    return Zero1Transformation(init_fn, update_fn)
 
 
 def zero1_state_from_replicated(params, chain_state, dp: int,

@@ -43,6 +43,7 @@ from univl_tpu.parallel.mesh import DP_AXIS
 from univl_tpu.train.optimization import SCHEDULES, univl_decay_mask, univl_lr_scale
 from univl_tpu.train.zero1 import (
     _CHUNK,
+    Zero1Transformation,
     _build_plan,
     _leaf_sq_sums,
     _row_plan,
@@ -291,7 +292,7 @@ def zero1_tp_bert_adam(
         )
         return new_params, new_state
 
-    return optax.GradientTransformation(init_fn, update_fn)
+    return Zero1Transformation(init_fn, update_fn)
 
 
 def make_univl_zero1_tp_optimizer(
