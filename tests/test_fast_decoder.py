@@ -76,6 +76,23 @@ def test_fast_beam_matches_full_beam(setup):
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("unroll", [2, 3, 8])
+def test_fast_beam_unrolled_matches_full_beam(setup, monkeypatch, unroll):
+    """UNIVL_TPU_DECODE_UNROLL=U (U decode steps per while_loop iteration,
+    evals/beam.py) must produce the full-prefix beam's hypotheses exactly:
+    step() is deterministic and done-freezing masks sub-steps after all
+    instances finish. U=3 leaves a remainder step per bucket; U=8 exceeds
+    the 12-step budget minus warmup, exercising the remainder-only path."""
+    cfg, model, params, batch, seq, vis, _, _ = setup
+    monkeypatch.setenv("UNIVL_TPU_DECODE_UNROLL", str(unroll))
+    slow = make_beam_decode_fn(model, 4, 12, bos_id=2, eos_id=3)
+    fast = make_fast_beam_decode_fn(model, 4, 12, bos_id=2, eos_id=3)
+    t1, s1 = slow(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_caption_generation_matches_single(setup, tmp_path):
     """Mesh-sharded beam decode must produce identical captions."""
     from univl_tpu.data import fixtures
@@ -206,6 +223,46 @@ def test_fused_decode_attention_kernel_matches_oracle():
     np.testing.assert_allclose(np.asarray(ko), ko_ref, atol=1e-6)
     np.testing.assert_allclose(np.asarray(vo), vo_ref, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ctx), ctx_ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("donate", [True, False])
+def test_fused_decode_attention_gpb_bitwise(donate):
+    """groups_per_block in {1, 2, 4} must be BITWISE identical (interpret
+    mode): gpb only batches K-row groups into larger block DMAs — the
+    group-local permutation indexing (block row j*group + idx[...]) and
+    the per-row math are unchanged. Covers both the donate=True aliasing
+    path (in/out cache blocks share VMEM) and donate=False. Round-4
+    advisor item: gpb>1 was previously only exercised by the on-chip
+    bench (tools/bench_decode_gpb.py) at 1e-3 tolerance."""
+    from univl_tpu.kernels.decode_attention import beam_decode_self_attention
+
+    B, K, H, L, D = 4, 5, 2, 16, 8
+    N = B * K  # divisible by group*gpb for gpb in {1, 2, 4}
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(N, H, D).astype(np.float32))
+    kn = jnp.asarray(rng.randn(N, H, D).astype(np.float32))
+    vn = jnp.asarray(rng.randn(N, H, D).astype(np.float32))
+    t = 7
+    kc = np.zeros((N, H, L, D), np.float32)
+    vc = np.zeros((N, H, L, D), np.float32)
+    kc[:, :, :t, :] = rng.randn(N, H, t, D)
+    vc[:, :, :t, :] = rng.randn(N, H, t, D)
+    prev_k = jnp.asarray(rng.randint(0, K, (N,)).astype(np.int32))
+    scale = 1.0 / np.sqrt(D)
+
+    outs = {}
+    for gpb in (1, 2, 4):
+        outs[gpb] = beam_decode_self_attention(
+            q, kn, vn, jnp.asarray(kc), jnp.asarray(vc), prev_k,
+            jnp.asarray(t, jnp.int32), K, scale=float(scale),
+            interpret=True, donate=donate, groups_per_block=gpb,
+        )
+    for gpb in (2, 4):
+        for ref, got, name in zip(outs[1], outs[gpb], ("ctx", "k", "v")):
+            np.testing.assert_array_equal(
+                np.asarray(ref), np.asarray(got),
+                err_msg=f"gpb={gpb} {name} differs from gpb=1",
+            )
 
 
 @pytest.mark.parametrize("beam,max_len", [(1, 12), (5, 12), (3, 40)])

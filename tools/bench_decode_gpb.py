@@ -64,28 +64,44 @@ def run(q, kn, vn, kc, vc, perm, n_steps: int, gpb: int, L: int):
 
 
 def main():
-    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    # Two-point delta protocol: time the chained run at n_lo and n_hi
+    # steps with the SAME device-resident args and report
+    # (t_hi - t_lo) / (n_hi - n_lo). This cancels the ~25 ms dispatch RTT
+    # AND keeps the (~230 ms at L=32!) tunnel upload of fresh caches out
+    # of the measurement — the original per-trial protocol re-uploaded
+    # make_args inside the timed region and measured the 30-40 MB/s wire,
+    # not the kernel (first round-5 run: "19 GB/s" ~= 15.7 MB per step of
+    # apparent traffic at the wire rate).
+    n_hi = int(sys.argv[1]) if len(sys.argv) > 1 else 384
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n_lo = n_hi // 4
     for L in (32, 128):
         cache_mb = 2 * N * H * L * D * 2 / 1e6
-        print(f"L={L}: K+V={cache_mb:.1f} MB, {n_steps} chained steps",
+        print(f"L={L}: K+V={cache_mb:.1f} MB, delta {n_lo}->{n_hi} steps",
               flush=True)
         accs = {}
+        args = make_args(L)
+        # force-complete the uploads before any clock starts (axon: the
+        # only reliable sync is a host fetch depending on the data)
+        _ = float(sum(jnp.sum(a.astype(jnp.float32)) for a in args[:5]))
         for gpb in (1, 2, 4, 8, 16):
-            args = make_args(L)
-            _ = float(run(*args, n_steps=n_steps, gpb=gpb, L=L))  # compile
+            for n in (n_lo, n_hi):  # compile both step counts
+                accs.setdefault(gpb, []).append(
+                    float(run(*args, n_steps=n, gpb=gpb, L=L))
+                )
             best = float("inf")
             for tr in range(trials):
-                args = make_args(L, tr)
                 t0 = time.time()
-                acc = float(run(*args, n_steps=n_steps, gpb=gpb, L=L))
-                dt = (time.time() - t0) / n_steps
+                _ = float(run(*args, n_steps=n_lo, gpb=gpb, L=L))
+                t1 = time.time()
+                _ = float(run(*args, n_steps=n_hi, gpb=gpb, L=L))
+                t2 = time.time()
+                dt = ((t2 - t1) - (t1 - t0)) / (n_hi - n_lo)
                 best = min(best, dt)
-                accs.setdefault(gpb, []).append(acc)
             gbps = 2 * cache_mb / 1e3 / best
             print(f"  gpb={gpb:2d}: best {best * 1e6:6.1f} us/step "
                   f"({gbps:.0f} GB/s vs ~820 roofline)", flush=True)
-        # same-seed accumulators must agree across gpb (same math)
+        # same-args accumulators must agree across gpb (same math)
         base = accs[1]
         for gpb, a in accs.items():
             for x, y in zip(base, a):

@@ -338,12 +338,28 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
         # The KV cache runs through STATIC size buckets (32 -> 64 -> ...):
         # one while_loop per bucket, cache zero-padded between buckets, so
         # short captions never pay max_len-sized cache traffic.
+        #
+        # UNIVL_TPU_DECODE_UNROLL=U (>1) runs U decode steps per while_loop
+        # iteration: the per-iteration scheduling bubble (the floor
+        # profile's ~0.2 ms/step wall-minus-self gap, docs/PERF.md round-4)
+        # is paid once per U steps. Trajectories are unchanged: step() is
+        # deterministic and done-freezing masks any sub-step that runs
+        # after all instances finish; a 1-step remainder loop covers the
+        # bucket tail so no step past the bucket bound ever executes.
+        # U=1 compiles the exact pre-unroll program.
+        unroll = max(1, int(os.environ.get("UNIVL_TPU_DECODE_UNROLL", "1") or "1"))
+
         def body(carry):
             t, seqs, scores, done, cache, perm = carry
             seqs, scores, done, cache, perm = step(
                 (seqs, scores, done, cache, perm), t
             )
             return (t + 1, seqs, scores, done, cache, perm)
+
+        def body_u(carry):
+            for _ in range(unroll):
+                carry = body(carry)
+            return carry
 
         t = jnp.asarray(1, jnp.int32)
         seqs, scores, done, cache = seqs0, scores0, done0, cache0
@@ -362,8 +378,17 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
                 done = carry[3]
                 return (t < _bound) & ~jnp.all(done)
 
+            carry = (t, seqs, scores, done, cache, perm)
+            if unroll > 1:
+                def cond_u(carry, _bound=bound):
+                    t = carry[0]
+                    done = carry[3]
+                    # all `unroll` sub-steps must satisfy t < bound
+                    return (t + (unroll - 1) < _bound) & ~jnp.all(done)
+
+                carry = jax.lax.while_loop(cond_u, body_u, carry)
             t, seqs, scores, done, cache, perm = jax.lax.while_loop(
-                cond, body, (t, seqs, scores, done, cache, perm)
+                cond, body, carry
             )
         return seqs[:, 0, 1:], scores[:, 0]
 

@@ -283,7 +283,13 @@ class FastDecoder:
             # UNIVL_TPU_DECODE_GPB: beam groups per Pallas grid program
             # (kernels/decode_attention.py groups_per_block) — fewer,
             # larger block DMAs amortize per-program transfer latency.
-            gpb = int(os.environ.get("UNIVL_TPU_DECODE_GPB", "1") or "1")
+            # Default 4: the round-5 delta-protocol sweep
+            # (tools/bench_decode_gpb.py) measured 38.3 -> 29.6 us/call at
+            # the L=32 floor (1.29x; 8 and 16 regress) and parity at
+            # L=128. The kernel falls back to gpb=1 when the beam batch
+            # does not divide; interpret-mode bitwise identity across
+            # gpb in {1,2,4} is pinned in tests/test_fast_decoder.py.
+            gpb = int(os.environ.get("UNIVL_TPU_DECODE_GPB", "4") or "4")
             ctx, ck, cv = beam_decode_self_attention(
                 q, k_t, v_t, ck, cv, perm, t, group,
                 scale=scale, interpret=interpret, groups_per_block=gpb,

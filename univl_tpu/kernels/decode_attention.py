@@ -90,6 +90,21 @@ def beam_decode_self_attention(
     gpb = groups_per_block
     if n % (group * gpb) != 0:
         gpb = 1
+    # VMEM guard: Mosaic's scoped stack holds the K+V block windows at
+    # their TILED sizes (last dim padded to the 128-lane width — 2x for
+    # D=64) for both in and out (donate aliasing does not collapse them),
+    # each double-buffered across grid steps: ~8x rows_b*h*l*128*itemsize.
+    # gpb=4 at L=128 (estimate 62.9M + small windows) failed AOT compile
+    # at "scoped allocation 75.25M, limit 64.00M". Halve gpb until the
+    # estimate fits 48 MB: the L=32 floor and L=64 buckets keep gpb=4;
+    # the L=128 ceiling degrades to gpb=2, where the sweep measured
+    # parity with gpb=1 anyway (tools/bench_decode_gpb.py).
+    lanes = max(d, 128)
+    while gpb > 1:
+        scoped_est = 8 * (group * gpb) * h * l_max * lanes * k_cache.dtype.itemsize
+        if scoped_est <= 48 * 1024 * 1024 and n % (group * gpb) == 0:
+            break
+        gpb //= 2
     rows_b = group * gpb
 
     def kern(idx_ref, t_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
