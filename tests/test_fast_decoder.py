@@ -76,6 +76,21 @@ def test_fast_beam_matches_full_beam(setup):
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 
 
+def test_fast_beam_unfused_qkv_matches_full_beam(setup, monkeypatch):
+    """UNIVL_TPU_DECODE_FUSED_QKV=0 restores the three per-projection
+    GEMMs in place of the default fused [Hid, 3*Hid] one
+    (evals/fast_decoder.py precompute_qkv, round 5) — both must match
+    the full-prefix beam."""
+    cfg, model, params, batch, seq, vis, _, _ = setup
+    monkeypatch.setenv("UNIVL_TPU_DECODE_FUSED_QKV", "0")
+    slow = make_beam_decode_fn(model, 4, 12, bos_id=2, eos_id=3)
+    fast = make_fast_beam_decode_fn(model, 4, 12, bos_id=2, eos_id=3)
+    t1, s1 = slow(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("unroll", [2, 3, 8])
 def test_fast_beam_unrolled_matches_full_beam(setup, monkeypatch, unroll):
     """UNIVL_TPU_DECODE_UNROLL=U (U decode steps per while_loop iteration,

@@ -216,6 +216,15 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
         cache_dtype = jnp.dtype(model.cfg.compute_dtype)
         fd = FastDecoder(model.cfg.decoder, params["params"])
         enc_kv = fd.precompute_enc_kv(enc_src.astype(cache_dtype))
+        # Fused per-layer q/k/v projection for the decode step (one
+        # [Hid, 3*Hid] GEMM instead of three): the step body is
+        # launch-latency-bound at [B*K, Hid] shapes. Concatenated here,
+        # OUTSIDE the while_loops (XLA does not reliably hoist).
+        # UNIVL_TPU_DECODE_FUSED_QKV=0 restores the three projections.
+        _fuse_qkv = os.environ.get(
+            "UNIVL_TPU_DECODE_FUSED_QKV", ""
+        ).strip().lower() not in ("0", "false", "off", "no")
+        qkv = fd.precompute_qkv() if _fuse_qkv else None
         buckets = _cache_buckets(max_len)
         cache0 = fd.init_cache(B * K, buckets[0], dtype=cache_dtype)
         if _use_fused_vocab:
@@ -249,12 +258,12 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
                 out, new_cache = fd.step_fused(
                     tok, t - 1, cache, enc_kv, enc_bias,
                     perm.reshape(B * K), K, interpret=_fused_interpret,
-                    return_hidden=_use_fused_vocab,
+                    return_hidden=_use_fused_vocab, qkv=qkv,
                 )
             else:
                 out, new_cache = fd.step(
                     tok, t - 1, cache, enc_kv, enc_bias,
-                    return_hidden=_use_fused_vocab,
+                    return_hidden=_use_fused_vocab, qkv=qkv,
                 )
             if _use_fused_vocab:
                 from univl_tpu.kernels.vocab_topk import classify_topk

@@ -91,6 +91,30 @@ class FastDecoder:
             ))
         return tuple(out)
 
+    def precompute_qkv(self):
+        """Per-layer fused self-attention q/k/v projection weights:
+        tuple of ([Hid, 3*Hid], [3*Hid]) concatenations of the
+        query/key/value kernels. The decode step's three [B*K, Hid] GEMMs
+        collapse into one — at decode shapes the projections are
+        launch-latency-bound, not MXU-bound (the train-side fused-QKV A/B
+        that REJECTED this fusion ran at [1536, 768] MXU-bound shapes,
+        docs/PERF.md round-4). Each fused output column is the same dot
+        product over the same contraction order as its per-projection
+        counterpart. Must be called OUTSIDE the decode loop — XLA does
+        not reliably hoist loop-invariant concats (the vocab-pad lesson,
+        docs/PERF.md round-4 item 1)."""
+        out = []
+        for i in range(self.n_layers):
+            slf = self.p[f"layer_{i}"]["self_attn"]
+            w = jnp.concatenate(
+                [slf[k]["kernel"] for k in ("query", "key", "value")], axis=1
+            )
+            b = jnp.concatenate(
+                [slf[k]["bias"] for k in ("query", "key", "value")]
+            )
+            out.append((w, b))
+        return tuple(out)
+
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32) -> DecodeCache:
         shape = (batch, self.heads, max_len, self.head_dim)
         return tuple(
@@ -198,6 +222,7 @@ class FastDecoder:
         enc_kv: DecodeCache,  # tuple of per-layer (k, v) [B, H, Lenc, D]
         enc_bias: jax.Array,  # [B, 1, 1, Lenc] additive
         return_hidden: bool = False,
+        qkv=None,  # optional precompute_qkv() output: fused projections
     ) -> Tuple[jax.Array, DecodeCache]:
         """Returns (logits [B, V], new cache). Embeds token at position t and
         predicts position t+1's distribution. ``return_hidden=True`` returns
@@ -217,9 +242,14 @@ class FastDecoder:
         for i in range(self.n_layers):
             lp = self.p[f"layer_{i}"]
             slf = lp["self_attn"]
-            q = self._split(_dense(x, slf["query"]))  # [B, H, 1, D]
-            k_t = self._split(_dense(x, slf["key"]))
-            v_t = self._split(_dense(x, slf["value"]))
+            if qkv is not None:
+                f = _dense(x, {"kernel": qkv[i][0], "bias": qkv[i][1]})
+                qh, kh, vh = jnp.split(f, 3, axis=-1)
+                q, k_t, v_t = map(self._split, (qh, kh, vh))
+            else:
+                q = self._split(_dense(x, slf["query"]))  # [B, H, 1, D]
+                k_t = self._split(_dense(x, slf["key"]))
+                v_t = self._split(_dense(x, slf["value"]))
             ck, cv = cache[i]
             ck = jax.lax.dynamic_update_slice_in_dim(
                 ck, k_t.astype(ck.dtype), t, axis=2
@@ -259,6 +289,7 @@ class FastDecoder:
         group: int,  # beam width K
         interpret: bool = False,
         return_hidden: bool = False,
+        qkv=None,  # optional precompute_qkv() output: fused projections
     ) -> Tuple[jax.Array, DecodeCache]:
         """step() with the pending beam permutation fused into the
         self-attention cache pass (kernels/decode_attention.py): the cache
@@ -276,9 +307,16 @@ class FastDecoder:
         for i in range(self.n_layers):
             lp = self.p[f"layer_{i}"]
             slf = lp["self_attn"]
-            q = _dense(x, slf["query"])[:, 0].reshape(B, self.heads, self.head_dim)
-            k_t = _dense(x, slf["key"])[:, 0].reshape(B, self.heads, self.head_dim)
-            v_t = _dense(x, slf["value"])[:, 0].reshape(B, self.heads, self.head_dim)
+            if qkv is not None:
+                f = _dense(x, {"kernel": qkv[i][0], "bias": qkv[i][1]})[:, 0]
+                qh, kh, vh = jnp.split(f, 3, axis=-1)
+                q, k_t, v_t = (
+                    a.reshape(B, self.heads, self.head_dim) for a in (qh, kh, vh)
+                )
+            else:
+                q = _dense(x, slf["query"])[:, 0].reshape(B, self.heads, self.head_dim)
+                k_t = _dense(x, slf["key"])[:, 0].reshape(B, self.heads, self.head_dim)
+                v_t = _dense(x, slf["value"])[:, 0].reshape(B, self.heads, self.head_dim)
             ck, cv = cache[i]
             # UNIVL_TPU_DECODE_GPB: beam groups per Pallas grid program
             # (kernels/decode_attention.py groups_per_block) — fewer,
