@@ -13,7 +13,7 @@ full max_len. Timing: chained decodes + ONE host fetch (axon does not
 sync on block_until_ready). Token trajectories are asserted identical
 across unroll factors.
 
-Usage: python tools/bench_decode_unroll.py [unrolls=1,2,4]
+Usage: python tools/bench_decode_unroll.py [unrolls=1,2,4] [batch=16]
 """
 
 from __future__ import annotations
@@ -42,7 +42,8 @@ def main():
     unrolls = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "1,2,4").split(",")]
 
     on_tpu = jax.default_backend() == "tpu"
-    B, K = 16, 5
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    K = 5
     cfg = UniVLConfig.base(
         compute_dtype="bfloat16" if on_tpu else "float32",
         use_pallas=False,
@@ -109,7 +110,7 @@ def main():
             results[key] = round(best * 1e3, 2)
             print(json.dumps({
                 "regime": regime, "unroll": u,
-                "ms_per_batch16": results[key],
+                "ms_per_batch16": results[key], "batch": B,
             }), flush=True)
     print(json.dumps(results))
 
