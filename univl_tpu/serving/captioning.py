@@ -53,6 +53,13 @@ def resolve_serving_fused_decode(
 
 
 class CaptionService:
+    """``batch_size`` sizes the compiled decode program (requests are
+    padded/coalesced up to it). Throughput scales sublinearly in latency:
+    the measured floor decode runs 1060/1351/1616 clips/s at B=16/32/64
+    (docs/PERF.md round-5 batch-scaling table), so deployments with
+    latency budgets >= ~40 ms per coalesced batch should size toward
+    64; the 16 default favors latency."""
+
     def __init__(
         self,
         model: UniVL,
