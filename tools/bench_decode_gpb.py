@@ -28,7 +28,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from univl_tpu.kernels.decode_attention import beam_decode_self_attention
+from univl_tpu.kernels.decode_attention import (
+    beam_decode_self_attention,
+    effective_gpb,
+)
 
 B, K, H, D = 16, 5, 12, 64
 N = B * K
@@ -84,7 +87,18 @@ def main():
         # force-complete the uploads before any clock starts (axon: the
         # only reliable sync is a host fetch depending on the data)
         _ = float(sum(jnp.sum(a.astype(jnp.float32)) for a in args[:5]))
-        for gpb in (1, 2, 4, 8, 16):
+        # Label rows by the gpb the kernel ACTUALLY runs (the scoped-VMEM
+        # guard added after the original sweep clamps big requests — e.g.
+        # requested 4/8/16 at L=128 all run as 2) and skip duplicates, so
+        # the sweep cannot report the same config under distinct labels.
+        measured = set()
+        for req in (1, 2, 4, 8, 16):
+            gpb = effective_gpb(req, N, K, H, L, D, 2)
+            if gpb in measured:
+                print(f"  gpb={req:2d}: clamped to {gpb} (VMEM guard) — "
+                      "already measured", flush=True)
+                continue
+            measured.add(gpb)
             for n in (n_lo, n_hi):  # compile both step counts
                 accs.setdefault(gpb, []).append(
                     float(run(*args, n_steps=n, gpb=gpb, L=L))

@@ -204,9 +204,10 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
         # (measured 1.1e-2 worst |dlogp| over a forced 31-step trajectory,
         # tools/verify_beam_shared_enc.py). UNIVL_TPU_SHARED_ENC_KV=0
         # restores the beam-expanded layout (and its exact lowering).
-        _shared_enc = os.environ.get(
-            "UNIVL_TPU_SHARED_ENC_KV", ""
-        ).strip().lower() not in ("0", "false", "off", "no")
+        # default-ON three-state parse: unset -> on; '0'/'false'/... -> off
+        _shared_enc = fused_decode_env_state(
+            os.environ.get("UNIVL_TPU_SHARED_ENC_KV")
+        ) is not False
         enc_src, enc_msk = cross_out, concat_mask
         if not _shared_enc:
             enc_src = jnp.repeat(cross_out, K, axis=0)
@@ -221,9 +222,9 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
         # launch-latency-bound at [B*K, Hid] shapes. Concatenated here,
         # OUTSIDE the while_loops (XLA does not reliably hoist).
         # UNIVL_TPU_DECODE_FUSED_QKV=0 restores the three projections.
-        _fuse_qkv = os.environ.get(
-            "UNIVL_TPU_DECODE_FUSED_QKV", ""
-        ).strip().lower() not in ("0", "false", "off", "no")
+        _fuse_qkv = fused_decode_env_state(
+            os.environ.get("UNIVL_TPU_DECODE_FUSED_QKV")
+        ) is not False
         qkv = fd.precompute_qkv() if _fuse_qkv else None
         buckets = _cache_buckets(max_len)
         cache0 = fd.init_cache(B * K, buckets[0], dtype=cache_dtype)

@@ -42,6 +42,38 @@ import jax
 import jax.numpy as jnp
 
 
+def effective_gpb(requested: int, n: int, group: int, h: int, l_max: int,
+                  d: int, itemsize: int) -> int:
+    """The groups_per_block the kernel will actually run.
+
+    Clamps ``requested`` (0 or negative -> 1, matching the repo's
+    UNIVL_TPU_*=0-means-off env convention), falls back to 1 when the
+    beam batch does not divide, and applies the scoped-VMEM guard:
+    Mosaic's scoped stack holds the K+V block windows at their TILED
+    sizes (last dim padded to the 128-lane width — 2x for D=64) for both
+    in and out (donate aliasing does not collapse them), each
+    double-buffered across grid steps: ~8x rows_b*h*l*128*itemsize.
+    gpb=4 at L=128 (estimate 62.9M + small windows) failed AOT compile
+    at "scoped allocation 75.25M, limit 64.00M" inside the full decode,
+    so gpb halves until the estimate fits 48 MB: the L=32 floor and
+    L=64 buckets keep gpb=4; the L=128 ceiling degrades to gpb=2, where
+    the (pre-guard) sweep measured parity with gpb=1 anyway
+    (tools/bench_decode_gpb.py — which labels its rows with THIS
+    function so post-guard runs cannot report duplicate configs under
+    distinct requested values).
+    """
+    gpb = max(1, requested)
+    if n % (group * gpb) != 0:
+        gpb = 1
+    lanes = max(d, 128)
+    while gpb > 1:
+        scoped_est = 8 * (group * gpb) * h * l_max * lanes * itemsize
+        if scoped_est <= 48 * 1024 * 1024 and n % (group * gpb) == 0:
+            break
+        gpb //= 2
+    return gpb
+
+
 def beam_decode_self_attention(
     q: jax.Array,        # [N, H, D] step queries (new beam order)
     k_new: jax.Array,    # [N, H, D] step keys (new beam order)
@@ -87,24 +119,9 @@ def beam_decode_self_attention(
     # this kernel's time to (raw cache bytes ~19 us/call vs ~53 us
     # measured at L=32; docs/PERF.md round-4 floor). Beam groups stay
     # independent — the permutation is still applied within each group.
-    gpb = groups_per_block
-    if n % (group * gpb) != 0:
-        gpb = 1
-    # VMEM guard: Mosaic's scoped stack holds the K+V block windows at
-    # their TILED sizes (last dim padded to the 128-lane width — 2x for
-    # D=64) for both in and out (donate aliasing does not collapse them),
-    # each double-buffered across grid steps: ~8x rows_b*h*l*128*itemsize.
-    # gpb=4 at L=128 (estimate 62.9M + small windows) failed AOT compile
-    # at "scoped allocation 75.25M, limit 64.00M". Halve gpb until the
-    # estimate fits 48 MB: the L=32 floor and L=64 buckets keep gpb=4;
-    # the L=128 ceiling degrades to gpb=2, where the sweep measured
-    # parity with gpb=1 anyway (tools/bench_decode_gpb.py).
-    lanes = max(d, 128)
-    while gpb > 1:
-        scoped_est = 8 * (group * gpb) * h * l_max * lanes * k_cache.dtype.itemsize
-        if scoped_est <= 48 * 1024 * 1024 and n % (group * gpb) == 0:
-            break
-        gpb //= 2
+    gpb = effective_gpb(
+        groups_per_block, n, group, h, l_max, d, k_cache.dtype.itemsize
+    )
     rows_b = group * gpb
 
     def kern(idx_ref, t_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
