@@ -240,6 +240,25 @@ def test_fused_decode_attention_kernel_matches_oracle():
     np.testing.assert_allclose(np.asarray(ctx), ctx_ref, atol=1e-5, rtol=1e-5)
 
 
+def test_effective_gpb_semantics():
+    """kernels/decode_attention.effective_gpb: 0/negative clamps to 1
+    (UNIVL_TPU_*=0-means-off convention — requesting 0 used to raise
+    ZeroDivisionError), non-dividing batches fall back to 1, and the
+    scoped-VMEM guard halves big requests (gpb=4 at L=128 failed AOT
+    compile at scoped 75.25M vs the 64M limit; docs/PERF.md round-5)."""
+    from univl_tpu.kernels.decode_attention import effective_gpb
+
+    # production shapes: N=80 rows, group=5, H=12, D=64, bf16
+    assert effective_gpb(0, 80, 5, 12, 32, 64, 2) == 1
+    assert effective_gpb(-3, 80, 5, 12, 32, 64, 2) == 1
+    assert effective_gpb(4, 80, 5, 12, 32, 64, 2) == 4   # floor keeps 4
+    assert effective_gpb(4, 80, 5, 12, 64, 64, 2) == 4   # L=64 keeps 4
+    assert effective_gpb(4, 80, 5, 12, 128, 64, 2) == 2  # ceiling halves
+    assert effective_gpb(16, 80, 5, 12, 128, 64, 2) == 2
+    assert effective_gpb(3, 80, 5, 12, 32, 64, 2) == 1   # 80 % 15 != 0
+    assert effective_gpb(16, 80, 5, 12, 32, 64, 2) == 8  # 16 -> VMEM -> 8
+
+
 @pytest.mark.parametrize("donate", [True, False])
 def test_fused_decode_attention_gpb_bitwise(donate):
     """groups_per_block in {1, 2, 4} must be BITWISE identical (interpret
