@@ -76,6 +76,22 @@ def test_fast_beam_matches_full_beam(setup):
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 
 
+def test_fast_beam_fused_vocab_in_kernel_cls_matches_full_beam(setup, monkeypatch):
+    """UNIVL_TPU_FUSED_CLS=1 (opt-in, rejected-as-default round 5) runs
+    the classifier transform inside the vocab kernel — must still match
+    the full-prefix beam. The default (transform in XLA) is covered by
+    the other fused_vocab tests."""
+    cfg, model, params, batch, seq, vis, _, _ = setup
+    monkeypatch.setenv("UNIVL_TPU_FUSED_CLS", "1")
+    slow = make_beam_decode_fn(model, 4, 12, bos_id=2, eos_id=3)
+    fast = make_fast_beam_decode_fn(model, 4, 12, bos_id=2, eos_id=3,
+                                    fused_vocab=True)
+    t1, s1 = slow(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
 def test_fast_beam_unfused_qkv_matches_full_beam(setup, monkeypatch):
     """UNIVL_TPU_DECODE_FUSED_QKV=0 restores the three per-projection
     GEMMs in place of the default fused [Hid, 3*Hid] one

@@ -435,6 +435,37 @@ class TestVocabTopK:
             np.asarray(ov), np.asarray(fv), rtol=1e-5, atol=1e-5
         )
 
+    def test_in_kernel_transform_matches_composed(self, rng):
+        """``transform=`` (classifier dense -> erf-GELU -> LN at vocab
+        tile 0 into scratch, kernels/vocab_topk.py round 5) must equal
+        transform-then-classify composed from plain jnp ops: same
+        indices, values to f32 tolerance."""
+        from univl_tpu.kernels.vocab_topk import classify_topk
+
+        R, H, V, k = 16, 64, 5000, 5
+        x = jnp.asarray(rng.normal(size=(R, H)), jnp.float32)
+        wt = jnp.asarray(rng.normal(size=(H, H)) * 0.05, jnp.float32)
+        bt = jnp.asarray(rng.normal(size=(H,)) * 0.1, jnp.float32)
+        g = jnp.asarray(1 + rng.normal(size=(H,)) * 0.1, jnp.float32)
+        lb = jnp.asarray(rng.normal(size=(H,)) * 0.1, jnp.float32)
+        w = jnp.asarray(rng.normal(size=(V, H)) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(V,)) * 0.1, jnp.float32)
+
+        t = x @ wt + bt
+        t = t * 0.5 * (1 + jax.lax.erf(t / jnp.sqrt(2.0)))
+        u = t.mean(-1, keepdims=True)
+        s = ((t - u) ** 2).mean(-1, keepdims=True)
+        t = (t - u) * jax.lax.rsqrt(s + 1e-12) * g + lb
+        ov, oi = self._oracle(t, w, b, k)
+
+        fv, fi = classify_topk(
+            x, w, b, k, interpret=True, transform=(wt, bt, g, lb, 1e-12)
+        )
+        np.testing.assert_array_equal(np.asarray(oi), np.asarray(fi))
+        np.testing.assert_allclose(
+            np.asarray(ov), np.asarray(fv), rtol=1e-5, atol=1e-5
+        )
+
     def test_tie_breaking_matches_lax_top_k(self, rng):
         """Duplicate vocab rows produce exactly-equal logits; both paths
         must prefer the LOWER vocab index (lax.top_k semantics) — including

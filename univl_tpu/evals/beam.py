@@ -240,6 +240,30 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
                 fd.word_embed.astype(cache_dtype),
                 fd.p["classifier_bias"].astype(jnp.float32),
             )
+            # UNIVL_TPU_FUSED_CLS=1 (opt-in): run the classifier transform
+            # (dense -> erf-GELU -> LN) INSIDE the vocab kernel at tile 0
+            # (kernels/vocab_topk.py ``transform=``) — three fewer XLA ops
+            # per decode step. Measured a WASH on v5e (two A/B pairs:
+            # floor 15.2 vs 15.3 ms means, ceiling 84.8 vs 85.3 — the
+            # removed ops were already overlapped, and the tile-0
+            # transform serializes ahead of the first vocab GEMM), so it
+            # stays off by default; docs/PERF.md round-5 rejection table.
+            _fuse_cls = fused_decode_env_state(
+                os.environ.get("UNIVL_TPU_FUSED_CLS")
+            ) is True
+            cls_transform = None
+            if _fuse_cls:
+                ct = fd.p["classifier_transform"]
+                cls_transform = (
+                    ct["dense"]["kernel"], ct["dense"]["bias"],
+                    ct["ln"]["scale"], ct["ln"]["bias"], 1e-12,
+                )
+        # what the decoder step should return: logits (False), the
+        # post-transform hidden (True), or the raw pre-transform hidden
+        # ("raw", transform runs in the vocab kernel)
+        _rh = False
+        if _use_fused_vocab:
+            _rh = "raw" if cls_transform is not None else True
 
         seqs0 = jnp.full((B, K, max_len), pad_id, jnp.int32)
         seqs0 = seqs0.at[:, :, 0].set(bos_id)
@@ -259,12 +283,12 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
                 out, new_cache = fd.step_fused(
                     tok, t - 1, cache, enc_kv, enc_bias,
                     perm.reshape(B * K), K, interpret=_fused_interpret,
-                    return_hidden=_use_fused_vocab, qkv=qkv,
+                    return_hidden=_rh, qkv=qkv,
                 )
             else:
                 out, new_cache = fd.step(
                     tok, t - 1, cache, enc_kv, enc_bias,
-                    return_hidden=_use_fused_vocab, qkv=qkv,
+                    return_hidden=_rh, qkv=qkv,
                 )
             if _use_fused_vocab:
                 from univl_tpu.kernels.vocab_topk import classify_topk
@@ -274,7 +298,8 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
                 # the K*K-candidate top_k below selects the same beams as
                 # the full K*V one (values to f32 tolerance)
                 logp_top, idx_top = classify_topk(
-                    out, cls_w, cls_b, K, interpret=_vocab_interpret
+                    out, cls_w, cls_b, K, interpret=_vocab_interpret,
+                    transform=cls_transform,
                 )
                 cand = scores[:, :, None] + logp_top.reshape(B, K, K)
                 top_scores, pos = jax.lax.top_k(cand.reshape(B, K * K), K)

@@ -275,6 +275,11 @@ class FastDecoder:
             x = self._layer_tail(ctx, x, lp, enc_kv[i], enc_bias, scale, B)
 
         if return_hidden:
+            if return_hidden == "raw":
+                # pre-transform hidden: the fused vocab kernel runs the
+                # classifier transform in-kernel (kernels/vocab_topk.py
+                # ``transform=``)
+                return x[:, 0, :], tuple(new_cache)
             return self._classify_hidden(x)[:, 0, :], tuple(new_cache)
         return self._classify(x), tuple(new_cache)
 
@@ -338,5 +343,10 @@ class FastDecoder:
             )
 
         if return_hidden:
+            if return_hidden == "raw":
+                # pre-transform hidden: the fused vocab kernel runs the
+                # classifier transform in-kernel (kernels/vocab_topk.py
+                # ``transform=``)
+                return x[:, 0, :], tuple(new_cache)
             return self._classify_hidden(x)[:, 0, :], tuple(new_cache)
         return self._classify(x), tuple(new_cache)

@@ -38,6 +38,21 @@ import jax.numpy as jnp
 _NEG = -1e30
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 erf (max abs error 1.5e-7) — Mosaic has
+    no erf primitive (NotImplementedError: 'erf' in Pallas TPU lowering),
+    and exp IS supported. Used for the in-kernel classifier transform's
+    erf-GELU; the ~1e-7 deviation from lax.erf sits far inside the
+    kernel's f32-tolerance contract (same in interpret mode, so CPU
+    tests exercise the exact production math)."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -60,16 +75,27 @@ def pad_vocab_inputs(w: jax.Array, bias: jax.Array, block_v: int = 2048):
 
 
 def vocab_topk_partials(
-    h: jax.Array,      # [R, H] post-transform hidden states (compute dtype)
+    h: jax.Array,      # [R, H] hidden states (compute dtype); see transform
     w: jax.Array,      # [V, H] tied classifier weight (word embedding)
     bias: jax.Array,   # [V] f32 classifier bias
     k: int,
     *,
     block_v: int = 2048,
     interpret: bool = False,
+    transform=None,    # optional (wt [H,H], bt [H], g [H], b [H], eps)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns per-row top-k logits + logsumexp without HBM logits:
-    (vals [R, k] f32 descending, idx [R, k] int32, lse [R] f32)."""
+    (vals [R, k] f32 descending, idx [R, k] int32, lse [R] f32).
+
+    ``transform``: when given, ``h`` is the RAW decoder hidden and the
+    classifier transform (dense -> erf-GELU -> LayerNorm,
+    fast_decoder._classify_hidden) runs IN-KERNEL at vocab tile 0 into a
+    VMEM scratch that later tiles reuse — three fewer XLA ops per decode
+    step and no [R, H] round-trip through HBM between the transform and
+    the vocab GEMM. The fused transform computes in f32 end-to-end; the
+    unfused path rounds to the compute dtype after the dense and the
+    GELU, so on-chip logits shift at bf16 tolerance (same contract and
+    gate class as --fused_decode; exact on CPU/f32)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -92,8 +118,32 @@ def vocab_topk_partials(
         bias.astype(jnp.float32), (0, Vp - V), constant_values=_NEG
     )
 
-    def kern(h_ref, w_ref, b_ref, val_ref, idx_ref, stat_ref):
-        hh = h_ref[...]
+    def kern(h_ref, *rest):
+        if transform is not None:
+            (wt_ref, bt_ref, g_ref, lb_ref, w_ref, b_ref,
+             val_ref, idx_ref, stat_ref, ht_ref) = rest
+            eps = transform[4]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                xr = h_ref[...].astype(jnp.float32)
+                t = jax.lax.dot_general(
+                    xr, wt_ref[...].astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bt_ref[...][None, :]
+                t = t * 0.5 * (1.0 + _erf(t / jnp.sqrt(2.0)))
+                u = jnp.mean(t, axis=1, keepdims=True)
+                s = jnp.mean(jnp.square(t - u), axis=1, keepdims=True)
+                t = (t - u) * jax.lax.rsqrt(s + eps)
+                ht_ref[...] = (
+                    t * g_ref[...][None, :] + lb_ref[...][None, :]
+                ).astype(h.dtype)
+
+            hh = ht_ref[...]
+        else:
+            w_ref, b_ref, val_ref, idx_ref, stat_ref = rest
+            hh = h_ref[...]
         ww = w_ref[...]
         # [R, Vt] logits tile; contraction on H with f32 accumulation (MXU)
         L = jax.lax.dot_general(
@@ -127,18 +177,36 @@ def vocab_topk_partials(
         )
 
     grid = (nt,)
+    vec_spec = lambda: pl.BlockSpec((H,), lambda j: (0,),
+                                    memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((Rp, H), lambda j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [h]
+    scratch_shapes = []
+    if transform is not None:
+        wt, bt, g, lb, _eps = transform
+        assert wt.shape == (H, H) and bt.shape == (H,), (wt.shape, bt.shape)
+        in_specs += [
+            pl.BlockSpec((H, H), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            vec_spec(), vec_spec(), vec_spec(),
+        ]
+        operands += [wt, bt.astype(jnp.float32), g.astype(jnp.float32),
+                     lb.astype(jnp.float32)]
+        scratch_shapes = [pltpu.VMEM((Rp, H), h.dtype)]
+    in_specs += [
+        pl.BlockSpec(
+            (block_v, H), lambda j: (j, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (block_v,), lambda j: (j,), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands += [w, bias_p]
     out = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((Rp, H), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (block_v, H), lambda j: (j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (block_v,), lambda j: (j,), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, Rp, 128), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -152,6 +220,7 @@ def vocab_topk_partials(
             jax.ShapeDtypeStruct((nt, Rp, 128), jnp.int32),
             jax.ShapeDtypeStruct((nt, Rp, 128), jnp.float32),
         ),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
@@ -163,7 +232,7 @@ def vocab_topk_partials(
             ),
             transcendentals=Rp * Vp,
         ),
-    )(h, w, bias_p)
+    )(*operands)
 
     tile_vals, tile_idx, tile_stat = out
     # ---- XLA epilogue over the Nt tiny partials ----
@@ -188,9 +257,14 @@ def classify_topk(
     k: int,
     *,
     interpret: bool = False,
+    transform=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """(logp_topk [R, k] f32, idx [R, k] int32): top-k log-probabilities of
     the tied classifier, equal to
-    ``lax.top_k(log_softmax(h @ w.T + bias), k)`` to f32 tolerance."""
-    vals, idx, lse = vocab_topk_partials(h, w, bias, k, interpret=interpret)
+    ``lax.top_k(log_softmax(h @ w.T + bias), k)`` to f32 tolerance.
+    ``transform``: run the classifier transform in-kernel on raw hiddens
+    (see vocab_topk_partials)."""
+    vals, idx, lse = vocab_topk_partials(
+        h, w, bias, k, interpret=interpret, transform=transform
+    )
     return vals - lse[:, None], idx
