@@ -92,6 +92,32 @@ def test_fast_beam_fused_vocab_in_kernel_cls_matches_full_beam(setup, monkeypatc
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 
 
+def test_fused_vocab_in_kernel_cls_composes_with_fused_decode(setup, monkeypatch):
+    """FUSED_CLS=1 + both decode kernels: step_fused's return_hidden='raw'
+    branch (raw hidden emitted after the deferred-permutation fused
+    attention) feeding the in-kernel transform must match the full-prefix
+    beam."""
+    cfg, model, params, batch, seq, vis, _, _ = setup
+    monkeypatch.setenv("UNIVL_TPU_FUSED_CLS", "1")
+    slow = make_beam_decode_fn(model, 3, 12, bos_id=2, eos_id=3)
+    fast = make_fast_beam_decode_fn(model, 3, 12, bos_id=2, eos_id=3,
+                                    fused_decode=True, fused_vocab=True)
+    t1, s1 = slow(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    t2, s2 = fast(params, seq, vis, batch["attention_mask"], batch["video_mask"])
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_cls_without_fused_vocab_warns(setup, monkeypatch):
+    """UNIVL_TPU_FUSED_CLS=1 without the vocab kernel is ignored — the
+    build must say so instead of silently comparing identical programs."""
+    cfg, model, params, batch, seq, vis, _, _ = setup
+    monkeypatch.setenv("UNIVL_TPU_FUSED_CLS", "1")
+    with pytest.warns(UserWarning, match="FUSED_CLS"):
+        make_fast_beam_decode_fn(model, 3, 8, bos_id=2, eos_id=3,
+                                 fused_vocab=False)
+
+
 def test_fast_beam_unfused_qkv_matches_full_beam(setup, monkeypatch):
     """UNIVL_TPU_DECODE_FUSED_QKV=0 restores the three per-projection
     GEMMs in place of the default fused [Hid, 3*Hid] one

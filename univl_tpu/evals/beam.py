@@ -179,6 +179,18 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
             fused_decode_env_state(os.environ.get("UNIVL_TPU_FUSED_VOCAB", ""))
         )
     _use_fused_vocab = bool(fused_vocab)
+    if not _use_fused_vocab and fused_decode_env_state(
+        os.environ.get("UNIVL_TPU_FUSED_CLS")
+    ) is True:
+        # the in-kernel classifier transform lives inside the vocab
+        # kernel; without it the flag would be silently ignored and an
+        # A/B would compare identical programs
+        import warnings
+
+        warnings.warn(
+            "UNIVL_TPU_FUSED_CLS=1 has no effect without the fused vocab "
+            "kernel (--fused_vocab / UNIVL_TPU_FUSED_VOCAB)", stacklevel=2
+        )
     # Off-TPU the real kernels cannot lower; run the Pallas interpreter so an
     # explicit fused_decode=True (or the env var) behaves identically
     # everywhere (CPU parity tests rely on this).

@@ -38,21 +38,6 @@ import jax.numpy as jnp
 _NEG = -1e30
 
 
-def _erf(x):
-    """Abramowitz & Stegun 7.1.26 erf (max abs error 1.5e-7) — Mosaic has
-    no erf primitive (NotImplementedError: 'erf' in Pallas TPU lowering),
-    and exp IS supported. Used for the in-kernel classifier transform's
-    erf-GELU; the ~1e-7 deviation from lax.erf sits far inside the
-    kernel's f32-tolerance contract (same in interpret mode, so CPU
-    tests exercise the exact production math)."""
-    s = jnp.sign(x)
-    a = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * a)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return s * (1.0 - poly * jnp.exp(-a * a))
-
-
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -132,7 +117,12 @@ def vocab_topk_partials(
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) + bt_ref[...][None, :]
-                t = t * 0.5 * (1.0 + _erf(t / jnp.sqrt(2.0)))
+                # A&S 7.1.26 erf from kernels/ffn.py (|err| <= 1.5e-7;
+                # Mosaic has no erf primitive) — same formula in
+                # interpret mode, so CPU tests cover the production math
+                from univl_tpu.kernels.ffn import _erf_f32
+
+                t = t * 0.5 * (1.0 + _erf_f32(t / jnp.sqrt(2.0)))
                 u = jnp.mean(t, axis=1, keepdims=True)
                 s = jnp.mean(jnp.square(t - u), axis=1, keepdims=True)
                 t = (t - u) * jax.lax.rsqrt(s + eps)
