@@ -354,6 +354,26 @@ def test_beam_reorder_groups_inplace(rng):
     )
 
 
+@pytest.mark.parametrize("gpb", [2, 4, 3])
+def test_beam_reorder_groups_inplace_gpb_bitwise(rng, gpb):
+    """groups_per_block batches K-row groups into larger block DMAs with
+    bitwise-identical outputs (round 5, mirroring the fused decode
+    kernel's gpb). gpb=3 does not divide B=4 and must fall back to 1."""
+    from univl_tpu.kernels.reorder import beam_reorder_groups_inplace
+
+    B, K = 4, 5
+    a = jnp.asarray(rng.randn(B * K, 3, 8, 16), jnp.float32)
+    b = jnp.asarray(rng.randn(B * K, 4, 32), jnp.bfloat16)
+    prev_k = rng.randint(0, K, B * K).astype(np.int32)
+    ref = beam_reorder_groups_inplace([a, b], jnp.asarray(prev_k), K,
+                                      groups_per_block=1)
+    got = beam_reorder_groups_inplace([a, b], jnp.asarray(prev_k), K,
+                                      groups_per_block=gpb)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r, np.float32),
+                                      np.asarray(g, np.float32))
+
+
 def test_bias_shim_fallback(rng):
     """Non-key-mask biases route to the XLA path."""
     from univl_tpu.kernels.attention import fused_attention

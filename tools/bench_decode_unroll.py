@@ -13,7 +13,7 @@ full max_len. Timing: chained decodes + ONE host fetch (axon does not
 sync on block_until_ready). Token trajectories are asserted identical
 across unroll factors.
 
-Usage: python tools/bench_decode_unroll.py [unrolls=1,2,4] [batch=16]
+Usage: python tools/bench_decode_unroll.py [unrolls=1,2,4] [batch=16] [fused=1]
 """
 
 from __future__ import annotations
@@ -43,6 +43,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    fused = (sys.argv[3] if len(sys.argv) > 3 else "1") == "1"
     K = 5
     cfg = UniVLConfig.base(
         compute_dtype="bfloat16" if on_tpu else "float32",
@@ -87,7 +88,7 @@ def main():
             decode = make_fast_beam_decode_fn(
                 model, beam_size=K, max_len=max_len,
                 bos_id=101, eos_id=-1, pad_id=0,
-                fused_decode=on_tpu, fused_vocab=on_tpu,
+                fused_decode=on_tpu and fused, fused_vocab=on_tpu and fused,
             )
             seqs, scores = decode(*args)
             toks = np.asarray(seqs)
@@ -110,7 +111,7 @@ def main():
             results[key] = round(best * 1e3, 2)
             print(json.dumps({
                 "regime": regime, "unroll": u,
-                "ms_per_batch16": results[key], "batch": B,
+                "ms_per_batch16": results[key], "batch": B, "fused": fused,
             }), flush=True)
     print(json.dumps(results))
 

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 
 def beam_reorder_groups_inplace(
-    arrays: Sequence[jax.Array], prev_k: jax.Array, group: int
+    arrays: Sequence[jax.Array], prev_k: jax.Array, group: int,
+    groups_per_block: int | None = None,
 ) -> List[jax.Array]:
     """In-place grouped permutation: rows permute only WITHIN consecutive
     groups of ``group`` rows (beam search: group = beam width K, rows
@@ -39,13 +40,44 @@ def beam_reorder_groups_inplace(
 
     prev_k: [N] int32, LOCAL source index within each row's group
     (out[g*K + k] = in[g*K + prev_k[g*K + k]]).
+
+    ``groups_per_block`` (None -> $UNIVL_TPU_REORDER_GPB): beam groups
+    per grid program — fewer, larger block DMAs amortize per-program
+    transfer latency exactly like the fused decode kernel's gpb
+    (kernels/decode_attention.py; bitwise-identical outputs, the
+    grouping changes only the block partitioning). Clamped like
+    effective_gpb: 0-means-off, non-dividing batches fall back to 1,
+    and a scoped-VMEM estimate (~8x the lane-padded block bytes across
+    ALL arrays, in+out double-buffered) halves it under a 48 MB cap.
     """
+    import os
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = prev_k.shape[0]
     assert n % group == 0, (n, group)
     k_arr = len(arrays)
+
+    if groups_per_block is None:
+        # default 1: unlike the fused decode kernel (whose gpb=4 measured
+        # 1.29x), this kernel already stages ALL cache arrays per grid
+        # program (6 blocks at the production config), so its per-program
+        # DMA is 6x larger to begin with — gpb=4 measured a wash/slightly
+        # worse (two A/B pairs, docs/PERF.md round-5). Opt-in via env.
+        groups_per_block = int(os.environ.get("UNIVL_TPU_REORDER_GPB", "1") or "1")
+    per_row = 0
+    for a in arrays:
+        mid = 1
+        for s in a.shape[1:-1]:
+            mid *= s
+        per_row += mid * max(a.shape[-1], 128) * a.dtype.itemsize
+    gpb = max(1, groups_per_block)
+    if n % (group * gpb) != 0:
+        gpb = 1
+    while gpb > 1 and 8 * group * gpb * per_row > 48 * 1024 * 1024:
+        gpb //= 2
+    rows_b = group * gpb
 
     def kern(idx_ref, *refs):
         g = pl.program_id(0)
@@ -54,24 +86,26 @@ def beam_reorder_groups_inplace(
             # With donation the input and output blocks share one VMEM
             # buffer: load EVERY source row into values before the first
             # store, or later iterations read already-overwritten rows.
-            rows = [
-                i_ref[pl.ds(idx_ref[g * group + kk], 1)]
-                for kk in range(group)
-            ]
-            for kk in range(group):
-                o_ref[pl.ds(kk, 1)] = rows[kk]
+            # Source rows are group-local: block row j*group + idx[...].
+            rows = []
+            for j in range(gpb):
+                for kk in range(group):
+                    src = j * group + idx_ref[(g * gpb + j) * group + kk]
+                    rows.append(i_ref[pl.ds(src, 1)])
+            for r in range(rows_b):
+                o_ref[pl.ds(r, 1)] = rows[r]
 
     def spec(a):
         nd = a.ndim - 1
         return pl.BlockSpec(
-            (group,) + a.shape[1:],
+            (rows_b,) + a.shape[1:],
             lambda i, idx_ref, _nd=nd: (i,) + (0,) * _nd,
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n // group,),
+        grid=(n // rows_b,),
         in_specs=[spec(a) for a in arrays],
         out_specs=tuple(spec(a) for a in arrays),
     )
