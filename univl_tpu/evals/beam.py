@@ -248,9 +248,13 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
             # makes the same cast inside _classify) AND pre-padded to the
             # vocab-tile multiple — XLA does not hoist the pad itself
             # (1.94 ms/decode of repeated weight copies, docs/PERF.md r4)
+            # UNIVL_TPU_VOCAB_BLOCK: vocab-tile size (pad + kernel must
+            # agree or the kernel re-pads INSIDE the decode loop)
+            _blk = int(os.environ.get("UNIVL_TPU_VOCAB_BLOCK", "2048") or "2048")
             cls_w, cls_b = pad_vocab_inputs(
                 fd.word_embed.astype(cache_dtype),
                 fd.p["classifier_bias"].astype(jnp.float32),
+                block_v=_blk,
             )
             # UNIVL_TPU_FUSED_CLS=1 (opt-in): run the classifier transform
             # (dense -> erf-GELU -> LN) INSIDE the vocab kernel at tile 0
@@ -310,8 +314,8 @@ def make_fast_beam_decode_fn(model: UniVL, beam_size: int, max_len: int,
                 # the K*K-candidate top_k below selects the same beams as
                 # the full K*V one (values to f32 tolerance)
                 logp_top, idx_top = classify_topk(
-                    out, cls_w, cls_b, K, interpret=_vocab_interpret,
-                    transform=cls_transform,
+                    out, cls_w, cls_b, K, block_v=_blk,
+                    interpret=_vocab_interpret, transform=cls_transform,
                 )
                 cand = scores[:, :, None] + logp_top.reshape(B, K, K)
                 top_scores, pos = jax.lax.top_k(cand.reshape(B, K * K), K)

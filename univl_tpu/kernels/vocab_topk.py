@@ -246,6 +246,7 @@ def classify_topk(
     bias: jax.Array,  # [V]
     k: int,
     *,
+    block_v: int = 2048,
     interpret: bool = False,
     transform=None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -255,6 +256,7 @@ def classify_topk(
     ``transform``: run the classifier transform in-kernel on raw hiddens
     (see vocab_topk_partials)."""
     vals, idx, lse = vocab_topk_partials(
-        h, w, bias, k, interpret=interpret, transform=transform
+        h, w, bias, k, block_v=block_v, interpret=interpret,
+        transform=transform,
     )
     return vals - lse[:, None], idx
