@@ -91,6 +91,19 @@ def test_serve_endpoints(tmp_path, vocab):
         # malformed request -> 400 JSON error, server keeps serving
         code, out = _post(port, "/v1/retrieval/search", {"nope": 1})
         assert code == 400 and "error" in out
+
+        # malformed transcripts rejected HANDLER-SIDE (before the
+        # coalescer can merge them into a shared decode batch) — the
+        # isolation contract in serving/coalesce.py's docstring
+        code, out = _post(port, "/v1/caption",
+                          {"videos": vids[:1], "transcripts": [123]})
+        assert code == 400 and "strings" in out["error"]
+        code, out = _post(port, "/v1/caption",
+                          {"videos": vids[:1], "transcripts": ["a", "b"]})
+        assert code == 400 and "length" in out["error"]
+        code, out = _post(port, "/v1/caption",
+                          {"videos": vids[:1], "transcripts": ["ok"]})
+        assert code == 200 and len(out["captions"]) == 1
         code, _ = _post(port, "/v1/retrieval/search",
                         {"queries": ["still alive"], "top_k": 1})
         assert code == 200

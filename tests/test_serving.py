@@ -354,3 +354,35 @@ def test_coalescer_matches_direct_service(rng, tokenizer):
     finally:
         svc.close()
     assert got == want
+
+
+def test_coalescer_closed_semantics():
+    """close() releases every waiter and subsequent caption() raises
+    instead of blocking forever (round-5 review finding: the old STOP
+    re-post could deadlock the dispatcher on a full queue, and a
+    post-close request waited on an event no worker would set)."""
+    from univl_tpu.serving.coalesce import CoalescingCaptionService
+
+    stub = _StubService(batch_size=4)
+    svc = CoalescingCaptionService(stub)
+    assert svc.caption([_clip(1.0)]) == ["cap:1.000:"]
+    svc.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        svc.caption([_clip(2.0)])
+    # idempotent
+    svc.close()
+
+
+def test_index_save_load_suffixless_path(rng, tokenizer, tmp_path):
+    """np.savez_compressed appends '.npz' to a suffix-less path; load()
+    must accept the same path the caller saved with (round-5 review
+    finding: the HTTP save/restart round-trip broke otherwise)."""
+    cfg, model, params = _model_and_params(tokenizer, rng)
+    idx = VideoRetrievalIndex(model, params, tokenizer, batch_size=4)
+    idx.add(_videos(rng, 4, cfg.video_dim), ids=list("abcd"))
+    path = str(tmp_path / "myindex")  # no .npz suffix
+    idx.save(path)
+    idx2 = VideoRetrievalIndex.load(path, model, params, tokenizer,
+                                    batch_size=4)
+    assert len(idx2) == 4
+    assert idx.search(["stir"], top_k=2) == idx2.search(["stir"], top_k=2)

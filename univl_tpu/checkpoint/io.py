@@ -98,9 +98,16 @@ def save_checkpoint_orbax(directory: str, state: Any, metadata: Optional[Dict] =
 
     path = os.path.abspath(directory)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    # multi-host: hand orbax the GLOBAL jax.Arrays — it writes each
+    # process's addressable shards and process 0 coordinates
+    # finalization; jax.device_get would crash on cross-host shards
+    # (e.g. zero1's P('dp') moments). Same guard as manager.py.
+    payload = jax.device_get(state) if jax.process_count() == 1 else state
+    ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
-    if metadata is not None:
+    if metadata is not None and jax.process_index() == 0:
+        # process-0-only: N hosts would race-write the same file on a
+        # shared filesystem
         with open(os.path.join(path, "univl_meta.json"), "w") as f:
             json.dump(metadata, f)
     return path
@@ -111,7 +118,10 @@ def restore_checkpoint_orbax(directory: str, template: Any):
 
     path = os.path.abspath(directory)
     ckptr = ocp.StandardCheckpointer()
-    state = ckptr.restore(path, target=jax.device_get(template))
+    # multi-host: keep the template's sharded jax.Arrays so orbax
+    # restores each process's shards in place (no host-side full copy)
+    tmpl = jax.device_get(template) if jax.process_count() == 1 else template
+    state = ckptr.restore(path, target=tmpl)
     meta = None
     meta_path = os.path.join(path, "univl_meta.json")
     if os.path.exists(meta_path):

@@ -19,7 +19,26 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional
 
+import numpy as np
+
 import jax
+
+
+def _coerce_metric(v):
+    """numpy/jax scalars -> python float for JSON + best_fn. Plain
+    isinstance(v, (int, float)) misses np.float32/np.int32 (not
+    subclasses of the python types; only np.float64 happens to be), and
+    ocp.args.JsonSave raises on them."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    if getattr(v, "ndim", None) == 0 or isinstance(v, np.generic):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return v
+    return v
 
 
 class RotatingCheckpointManager:
@@ -44,9 +63,16 @@ class RotatingCheckpointManager:
         self.async_save = async_save
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # checkpoints saved WITHOUT the best metric (periodic/preemption
+        # saves pass metrics=None) rank as worst-possible instead of
+        # raising KeyError out of the rotation pass
+        worst = float("-inf") if best_mode == "max" else float("inf")
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
-            best_fn=(lambda m: float(m[best_metric])) if best_metric else None,
+            best_fn=(
+                (lambda m: float((m or {}).get(best_metric, worst)))
+                if best_metric else None
+            ),
             best_mode=best_mode,
             create=True,
             enable_async_checkpointing=async_save,
@@ -61,17 +87,19 @@ class RotatingCheckpointManager:
         never orphan them, and feed the best-checkpoint policy.
         """
         ocp = self._ocp
-        # floats coerce (numpy scalars -> JSON); bools/None/dicts pass through
-        metrics = {
-            k: (float(v) if isinstance(v, (int, float))
-                and not isinstance(v, bool) else v)
-            for k, v in (metrics or {}).items()
-        }
+        # floats coerce (incl. numpy/jax scalars -> JSON, _coerce_metric);
+        # bools/None/dicts pass through
+        metrics = {k: _coerce_metric(v) for k, v in (metrics or {}).items()}
         # Overwrite semantics on step collision (like the msgpack file
         # path): a preemption at the last update-batch of an epoch saves at
         # the same global_step the epoch-end save would use — without the
         # delete, orbax raises StepAlreadyExistsError and every resume
-        # repeats the crash.
+        # repeats the crash. The wait must come BEFORE the all_steps()
+        # check: an in-flight async save at the same step is not visible
+        # in all_steps() yet, would escape the delete, and the second
+        # save would then raise StepAlreadyExistsError anyway.
+        if self.async_save:
+            self._mgr.wait_until_finished()
         if step in set(self._mgr.all_steps()):
             self._mgr.wait_until_finished()
             self._mgr.delete(step)

@@ -447,8 +447,6 @@ def merge_params(init_params: dict, loaded: dict, require_all: bool = False):
         return jnp.asarray(got, dtype=init_node.dtype)
 
     merged = rec(init_params, loaded, [])
-    # prune missing entries that are leaf-containers fully loaded
-    missing = [m for m in missing]
     if require_all and missing:
         raise ValueError(f"missing params not covered by checkpoint: {missing}")
     return merged, missing

@@ -82,6 +82,26 @@ def _decode_videos(payload, video_dim: int):
     return vids
 
 
+def _decode_transcripts(payload, n_videos: int):
+    # Same isolation contract as _decode_videos: transcripts are validated
+    # handler-side so a malformed one cannot fail a merged decode batch.
+    txts = payload.get("transcripts")
+    if txts is None:
+        return None
+    if not isinstance(txts, (list, tuple)):
+        raise ValueError("transcripts must be a list of strings")
+    if len(txts) != n_videos:
+        raise ValueError(
+            f"transcripts length {len(txts)} != videos length {n_videos}"
+        )
+    for t in txts:
+        if not isinstance(t, str):
+            raise ValueError(
+                f"transcripts entries must be strings, got {type(t).__name__}"
+            )
+    return list(txts)
+
+
 def build_services(args):
     """Load model + checkpoint, return (index, caption_service, cfg)."""
     import jax
@@ -226,15 +246,12 @@ def make_server(args):
                     self._reply(200, {"path": payload["path"]})
                 elif self.path == "/v1/caption" and caption is not None:
                     vids = _decode_videos(payload, cfg.video_dim)
+                    txts = _decode_transcripts(payload, len(vids))
                     if coalescer is not None:
-                        caps = coalescer.caption(
-                            vids, transcripts=payload.get("transcripts")
-                        )
+                        caps = coalescer.caption(vids, transcripts=txts)
                     else:
                         with lock:
-                            caps = caption.caption(
-                                vids, transcripts=payload.get("transcripts")
-                            )
+                            caps = caption.caption(vids, transcripts=txts)
                     self._reply(200, {"captions": caps})
                 else:
                     self._reply(404, {"error": f"no handler for {self.path} "

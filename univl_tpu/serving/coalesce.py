@@ -75,6 +75,7 @@ class CoalescingCaptionService:
         self._max = int(max_batch or service.batch_size)
         self._device_lock = device_lock
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._closed = False
         self._worker = threading.Thread(
             target=self._loop, name="caption-coalescer", daemon=True
         )
@@ -86,26 +87,38 @@ class CoalescingCaptionService:
         videos: Sequence[np.ndarray],
         transcripts: Optional[Sequence[str]] = None,
     ) -> List[str]:
+        if self._closed:
+            raise RuntimeError("CoalescingCaptionService is closed")
         if transcripts is not None:
             assert len(transcripts) == len(videos)
         req = _Pending(list(videos), list(transcripts) if transcripts else None)
         self._q.put(req)
-        req.event.wait()
+        # bounded wait: a request that races past the closed flag after
+        # the worker's final drain would otherwise block forever
+        while not req.event.wait(1.0):
+            if self._closed and not self._worker.is_alive():
+                raise RuntimeError("CoalescingCaptionService is closed")
         if req.err is not None:
             raise req.err
         return req.out
 
     def close(self):
+        # flag first so no new caption() enqueues after the sentinel; the
+        # dispatcher drains-and-fails anything already queued behind it,
+        # so no waiter is left blocked forever
+        self._closed = True
         self._q.put(_STOP)
         self._worker.join(timeout=10)
 
     # ------------------------------------------------------------ #
     def _loop(self):
         carry: Optional[_Pending] = None
+        stopping = False
         while True:
             first = carry if carry is not None else self._q.get()
             carry = None
             if first is _STOP:
+                self._drain_closed()
                 return
             group = [first]
             clips = len(first.videos)
@@ -120,7 +133,11 @@ class CoalescingCaptionService:
                 except queue.Empty:
                     break
                 if nxt is _STOP:
-                    self._q.put(_STOP)  # re-post for the next iteration
+                    # serve the current group, then drain-and-fail whatever
+                    # is left and exit. NEVER re-post the sentinel into the
+                    # queue: with a full queue that put would block forever
+                    # (this thread is the only consumer).
+                    stopping = True
                     break
                 if clips + len(nxt.videos) > self._max:
                     carry = nxt
@@ -128,6 +145,25 @@ class CoalescingCaptionService:
                 group.append(nxt)
                 clips += len(nxt.videos)
             self._serve_group(group)
+            if stopping:
+                if carry is not None:
+                    carry.err = RuntimeError("CoalescingCaptionService is closed")
+                    carry.event.set()
+                self._drain_closed()
+                return
+
+    def _drain_closed(self):
+        """Fail any requests that raced past the closed flag — their
+        callers are blocked in event.wait() and must be released."""
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if r is _STOP:
+                continue
+            r.err = RuntimeError("CoalescingCaptionService is closed")
+            r.event.set()
 
     def _serve_group(self, group: List[_Pending]):
         vids = [v for r in group for v in r.videos]

@@ -17,6 +17,8 @@ host. The index persists to one .npz.
 
 from __future__ import annotations
 
+import os
+
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -26,10 +28,6 @@ import jax.numpy as jnp
 
 from univl_tpu.data.text_encoding import encode_text, pad_video
 from univl_tpu.models.univl import UniVL
-
-
-def _l2(x: np.ndarray) -> np.ndarray:
-    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
 def _pad_rows(x: np.ndarray, size: int) -> np.ndarray:
@@ -213,15 +211,25 @@ class VideoRetrievalIndex:
         pooled = np.concatenate(pooled)
 
         sim = pooled @ self.video_emb.T  # [Q, N]
+
+        def _top(mat, k):
+            # O(N) argpartition + sort of the k winners — a full argsort
+            # is O(N log N) per query on the single-vCPU serving host
+            k = min(k, mat.shape[1])
+            part = np.argpartition(-mat, k - 1, axis=1)[:, :k]
+            vals = np.take_along_axis(mat, part, axis=1)
+            inner = np.argsort(-vals, axis=1)
+            return np.take_along_axis(part, inner, axis=1)
+
         if not rerank:
-            order = np.argsort(-sim, axis=1)[:, :top_k]
+            order = _top(sim, top_k)
             return [
                 [(self.ids[j], float(sim[q, j])) for j in order[q]]
                 for q in range(Q)
             ]
 
         M = min(rerank, len(self.ids))
-        shortlist = np.argsort(-sim, axis=1)[:, :M]  # [Q, M]
+        shortlist = _top(sim, M)  # [Q, M]
         am = arrs["attention_mask"]
         out: List[List[Tuple[str, float]]] = []
         for q0 in range(0, Q, 8):  # rerank tile: 8 queries x M candidates
@@ -259,6 +267,11 @@ class VideoRetrievalIndex:
 
     @classmethod
     def load(cls, path: str, model: UniVL, params, tokenizer, **kw):
+        # np.savez_compressed appends '.npz' to a suffix-less path but
+        # np.load does not — accept either spelling so save(path) ->
+        # load(path) always round-trips
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
         z = np.load(path)
         idx = cls(
             model, params, tokenizer,
