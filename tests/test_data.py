@@ -417,3 +417,61 @@ def test_cast_floats_and_prefetch_modes():
 
     with _pytest.raises(RuntimeError, match="boom"):
         list(prefetch_to_device(bad(), put=lambda x: x, put_in_worker=False))
+
+
+def test_batcher_partial_final_chunk_accum_and_hosts(youcook, tokenizer):
+    """drop_last=False with grad_accum>1 / process_count>1 used to crash
+    on the final partial chunk's reshape (round-5 review finding); the
+    remainder now wrap-pads with epoch-start indices (torch
+    DistributedSampler's equal-size padding) so every micro-batch keeps
+    its static shape."""
+    csv_path, data_path, feat_path = youcook
+    ds = YoucookRetrievalDataset(csv_path, data_path, feat_path, tokenizer,
+                                 max_words=16, max_frames=12)
+    n = len(ds)
+    # pick sizes that leave a remainder
+    bs, ga = 4, 2
+    assert n % (bs * ga) != 0, "fixture must leave a partial final chunk"
+    b = Batcher(ds, batch_size=bs, shuffle=False, drop_last=False, grad_accum=ga)
+    batches = list(b.epoch(0))
+    assert len(batches) == -(-n // (bs * ga)) == len(b)
+    for bt in batches:
+        assert bt["input_ids"].shape == (ga, bs, 16)
+
+    parts = [
+        Batcher(ds, batch_size=bs, shuffle=False, drop_last=False,
+                process_index=i, process_count=2)
+        for i in range(2)
+    ]
+    for p in parts:
+        for bt in p.epoch(0):
+            assert bt["input_ids"].shape == (bs // 2, 16)
+
+
+def test_prefetch_early_close_terminates_worker(youcook, tokenizer):
+    """Abandoning the prefetch iterator mid-epoch (preemption return /
+    break) must terminate the worker thread instead of leaving it blocked
+    forever in q.put holding prefetched batches (round-5 review
+    finding)."""
+    import threading
+
+    from univl_tpu.data.batching import prefetch_to_device
+
+    csv_path, data_path, feat_path = youcook
+    ds = YoucookRetrievalDataset(csv_path, data_path, feat_path, tokenizer,
+                                 max_words=16, max_frames=12)
+    b = Batcher(ds, batch_size=2, shuffle=False)
+    before = {t.ident for t in threading.enumerate()}
+    it = prefetch_to_device(b.epoch(0), put=lambda x: x, size=1)
+    next(it)
+    it.close()  # triggers the generator's finally -> stop + drain
+    deadline = __import__("time").time() + 10
+    while __import__("time").time() < deadline:
+        extra = [
+            t for t in threading.enumerate()
+            if t.ident not in before and t.is_alive()
+        ]
+        if not extra:
+            break
+        __import__("time").sleep(0.1)
+    assert not extra, f"prefetch worker leaked: {extra}"

@@ -167,3 +167,13 @@ def test_native_thread_safety(native_tok, python_tok):
         with ThreadPoolExecutor(max_workers=16) as ex:
             got = list(ex.map(native_tok.tokenize, texts))
         assert got == expect
+
+
+def test_native_nul_byte_falls_back_to_python(native_tok, python_tok):
+    """Embedded NUL bytes: c_char_p is NUL-terminated, so the C side used
+    to silently truncate 'add\\x00salt' to ['add'] while the Python path
+    drops the control char and tokenizes the rest (round-5 review
+    finding, violating the byte-identical invariant). tokenize_ids now
+    declines such inputs and the wrapper takes the Python path."""
+    for text in ("add\x00salt", "\x00", "mix\x00", "\x00stir the pot"):
+        assert native_tok.tokenize(text) == python_tok.tokenize(text), text

@@ -82,8 +82,19 @@ class Batcher:
             for off in range(start_batch * chunk,
                              n - chunk + 1 if self.drop_last else n, chunk):
                 idxs = order[off : off + chunk]
-                if len(idxs) < chunk and self.drop_last:
-                    break
+                if len(idxs) < chunk:
+                    if self.drop_last:
+                        break
+                    if self.grad_accum > 1 or self.process_count > 1:
+                        # the accum/host reshapes below need a FULL chunk;
+                        # wrap-pad the remainder with indices from the
+                        # epoch's start (torch DistributedSampler's
+                        # equal-size padding — a few samples repeat) so
+                        # every micro-batch/host slice keeps its static
+                        # shape instead of crashing on the reshape
+                        idxs = np.concatenate(
+                            [idxs, np.resize(order, chunk - len(idxs))]
+                        )
                 if self.process_count > 1:
                     # host-local slice of each micro-batch
                     idxs = idxs.reshape(self.grad_accum, self.batch_size)
@@ -139,22 +150,49 @@ def prefetch_to_device(
     q: "queue.Queue" = queue.Queue(maxsize=size)
     END = object()
     err: List[BaseException] = []
+    stop = threading.Event()
+
+    def _put(obj):
+        # bounded put so the worker can exit when the consumer abandons
+        # the generator mid-epoch (preemption return / exception / break)
+        # instead of blocking forever on a full queue with device-resident
+        # batches pinned
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(put(item) if put_in_worker else item)
+                if stop.is_set():
+                    return
+                if not _put(put(item) if put_in_worker else item):
+                    return
         except BaseException as e:  # propagate to consumer
             err.append(e)
         finally:
-            q.put(END)
+            _put(END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            if err:
-                raise err[0]
-            return
-        yield item if put_in_worker else put(item)
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                if err:
+                    raise err[0]
+                return
+            yield item if put_in_worker else put(item)
+    finally:
+        # early generator close: unblock + terminate the worker and drop
+        # its buffered batches
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

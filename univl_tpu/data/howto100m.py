@@ -80,6 +80,13 @@ class HowTo100MPretrainDataset:
         )
         self._feat_cache_max = 32
         self._feat_lock = threading.Lock()
+        # tokenized-clip LRU (bounded, on self — NOT inside the
+        # caller-owned data_dict, which an unbounded cache would bloat by
+        # GB at HowTo100M scale and mutate into any re-pickle of it)
+        self._tok_cache: "collections.OrderedDict" = collections.OrderedDict()
+        self._tok_cache_max = 4096
+        self._tok_lock = threading.Lock()
+        self._video_err_count = 0
 
         self.iter_num = len(self.video_ids)
         if self.use_mil:
@@ -124,12 +131,22 @@ class HowTo100MPretrainDataset:
     def _clip_tokens(self, d, ind) -> List[str]:
         """Tokenize one clip's text, cached: neighbor-merge re-tokenizes the
         same clips across samples/epochs (no reference equivalent — the
-        reference re-tokenizes every time, dataloader_howto100m.py:236-251)."""
-        cache = d.setdefault("_token_cache", {})
-        toks = cache.get(ind)
-        if toks is None:
-            toks = self.tokenizer.tokenize(str(d["text"][ind]))
-            cache[ind] = toks
+        reference re-tokenizes every time, dataloader_howto100m.py:236-251).
+        LRU on self keyed by the video dict's identity (stable for the
+        dataset's lifetime), same bounding/locking discipline as
+        _feat_cache."""
+        key = (id(d), ind)
+        with self._tok_lock:
+            toks = self._tok_cache.get(key)
+            if toks is not None:
+                self._tok_cache.move_to_end(key)
+                return toks
+        toks = self.tokenizer.tokenize(str(d["text"][ind]))
+        with self._tok_lock:
+            self._tok_cache[key] = toks
+            self._tok_cache.move_to_end(key)
+            while len(self._tok_cache) > self._tok_cache_max:
+                self._tok_cache.popitem(last=False)
         return toks
 
     def _single_transcript(self, d, ind) -> Tuple[List[str], float, float]:
@@ -274,17 +291,18 @@ class HowTo100MPretrainDataset:
             caption_words_all.append(words)
             starts[i], ends[i] = s_, e_
             enc_words = [] if enhance_vmodal else words
-            t = te.encode_text(enc_words, self.tokenizer, Lw, rng, with_mlm=False)
+            # with_mlm folds the clip_and_wrap + mask_tokens + pad steps
+            # this block used to inline (identical outputs and rng draw
+            # order: the with_mlm=False branch consumes no rng)
+            t = te.encode_text(
+                enc_words, self.tokenizer, Lw, rng, with_mlm=not self.only_sim
+            )
             out["input_ids"][i] = t["input_ids"]
             out["attention_mask"][i] = t["attention_mask"]
 
             if not self.only_sim:
-                wrapped = te.clip_and_wrap(enc_words, Lw)
-                masked_words, labels = te.mask_tokens(wrapped, self.tokenizer, rng)
-                out["masked_text"][i] = te._pad(
-                    self.tokenizer.convert_tokens_to_ids(masked_words), Lw, 0
-                )
-                out["token_labels"][i] = te._pad(labels, Lw, te.IGNORE)
+                out["masked_text"][i] = t["masked_text"]
+                out["token_labels"][i] = t["token_labels"]
                 cap = te.encode_caption(
                     words, self.tokenizer, Lw, rng, mask_input=True
                 )
@@ -304,8 +322,20 @@ class HowTo100MPretrainDataset:
                 lengths[i] = len(sl)
                 if len(sl) >= 1:
                     out["video"][i, : len(sl)] = sl
-        except Exception:
-            pass  # zero video, zero mask — reference behavior on corrupt files
+        except Exception as e:
+            # zero video, zero mask — reference behavior on corrupt files
+            # (dataloader_howto100m.py:294-308), but LOGGED: an entirely
+            # wrong --features_path would otherwise train on silent
+            # all-zero video with no signal at all
+            self._video_err_count += 1
+            c = self._video_err_count
+            if c <= 5 or c % 1000 == 0:
+                import logging
+
+                logging.getLogger("univl_tpu.data").warning(
+                    "video load failed (#%d): %s: %s: %s",
+                    c, feature_file, type(e).__name__, e,
+                )
         for i, ln in enumerate(lengths):
             out["video_mask"][i, :ln] = 1
 

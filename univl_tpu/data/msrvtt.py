@@ -119,7 +119,10 @@ class MsrvttRetrievalTrainDataset(_MsrvttBase):
         return sample
 
 
-MSRVTT_SPLITS = {"train": (0, 6513), "val": (6513, 7010), "test": (7010, 10000)}
+# test upper bound is OPEN-ENDED like the reference's video_ids[7010:]
+# (dataloader_msrvtt_caption.py:43) — a hard cap would silently drop
+# videos past index 10000 from eval on extended jsons
+MSRVTT_SPLITS = {"train": (0, 6513), "val": (6513, 7010), "test": (7010, None)}
 
 
 class MsrvttCaptionDataset(_MsrvttBase):

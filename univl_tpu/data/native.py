@@ -136,23 +136,36 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         cache = os.path.join(
             os.path.expanduser("~/.cache/univl_tpu"), f"wordpiece-{tag}.so"
         )
+        def compile_to(dest):
+            # pid-suffixed tmp (like _load_unicode_blob): two cold-cache
+            # processes racing the same tmp path would interleave g++
+            # output and os.replace a corrupt half-written .so into the
+            # cache, silently losing the native path forever
+            tmp = dest + f".tmp{os.getpid()}"
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp],
+                check=True, capture_output=True,
+            )
+            os.replace(tmp, dest)
+
         if not os.path.exists(cache):
             os.makedirs(os.path.dirname(cache), exist_ok=True)
-            tmp = cache + ".tmp"
             try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp],
-                    check=True, capture_output=True,
-                )
-                os.replace(tmp, cache)
+                compile_to(cache)
             except Exception:
                 _BUILD_FAILED = True
                 return None
         try:
             lib = ctypes.CDLL(cache)
         except OSError:
-            _BUILD_FAILED = True
-            return None
+            # a stale/corrupt cached .so (e.g. from a pre-fix racing
+            # build): rebuild once in place before giving up
+            try:
+                compile_to(cache)
+                lib = ctypes.CDLL(cache)
+            except Exception:
+                _BUILD_FAILED = True
+                return None
         lib.wp_create.restype = ctypes.c_void_p
         lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.wp_create_utf8.restype = ctypes.c_void_p
@@ -223,6 +236,12 @@ class NativeWordPiece:
         try:
             raw = text.encode("utf-8")
         except UnicodeEncodeError:  # lone surrogates etc. -> Python path
+            return None
+        if b"\x00" in raw:
+            # c_char_p is NUL-terminated: the C side would silently
+            # truncate at the embedded NUL while the Python path drops
+            # the control char and tokenizes the rest -> divergent ids.
+            # Rare enough to just take the Python fallback.
             return None
         buf = getattr(self._tls, "buf", None)
         if buf is None:

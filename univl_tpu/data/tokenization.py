@@ -22,8 +22,11 @@ def load_vocab(vocab_file: str) -> "collections.OrderedDict[str, int]":
     with open(vocab_file, "r", encoding="utf-8") as f:
         for i, line in enumerate(f):
             tok = line.rstrip("\n")
-            if tok == "" and line == "":
-                break
+            # NOTE: a blank line becomes a vocab[""] entry at its index —
+            # intentionally matching the reference loader, whose
+            # readline loop also strips and keeps blank lines
+            # (tokenization.py:51-63; its `if not token: break` fires
+            # only at EOF, which plain iteration handles already).
             vocab[tok.strip()] = i
     return vocab
 

@@ -38,8 +38,15 @@ def cached_path(path_or_url: str, cache_dir: str = None) -> str:
         raise FileNotFoundError(f"cached_path: {path} not found")
 
     if path.endswith((".tar.gz", ".tgz", ".tar")):
+        # fingerprint = first 1 MiB + file size: two archives sharing a
+        # 1 MiB prefix but differing later (e.g. a re-packaged weights
+        # tarball) must not resolve to the same stale extraction
+        st = os.stat(path)
+        h = hashlib.sha256()
         with open(path, "rb") as f:
-            digest = hashlib.sha256(f.read(1 << 20)).hexdigest()[:16]
+            h.update(f.read(1 << 20))
+        h.update(str(st.st_size).encode())
+        digest = h.hexdigest()[:16]
         out = os.path.join(cache_dir, f"extracted-{digest}")
         done = os.path.join(out, ".done")
         if not os.path.exists(done):
