@@ -610,6 +610,17 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
     items_per_step = args.batch_size * args.gradient_accumulation_steps
     profile_dir = getattr(args, "profile_dir", None)
     profiling = False
+    prof_steps = 0
+
+    def _stop_profiling():
+        nonlocal profiling
+        if profiling:
+            import jax as _jax
+
+            _jax.profiler.stop_trace()
+            profiling = False
+            logger.info("profiler trace written to %s", profile_dir)
+
     steps_at_start = global_step
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
@@ -634,6 +645,10 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
             loss_sum = metrics["loss"] if loss_sum is None else loss_sum + metrics["loss"]
             timer.tick(items_per_step)
             if preempt_hit(args, preempt, global_step - steps_at_start):
+                # stop BEFORE the checkpoint+exit: every return path must
+                # close the trace or the profiler stays running and the
+                # trace never reaches disk
+                _stop_profiling()
                 _save_train_state(epoch, epoch_offset + n_steps, True)
                 logger.info(
                     "preempted at epoch %d step %d: checkpoint saved, exiting",
@@ -641,12 +656,13 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
                 )
                 mw.close()
                 return state, best
-            if profiling and step == 7:
-                import jax as _jax
-
-                _jax.profiler.stop_trace()
-                profiling = False
-                logger.info("profiler trace written to %s", profile_dir)
+            if profiling:
+                # counter-based window (5 captured steps): the old
+                # `step == 7` check never fired when epoch 0 had fewer
+                # than 8 steps, leaving the profiler running forever
+                prof_steps += 1
+                if prof_steps >= 5:
+                    _stop_profiling()
             if global_step % args.n_display == 0:
                 disp_loss = float(metrics["loss"])
                 logger.info(
@@ -666,6 +682,7 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
         # would otherwise wait out a minutes-long eval) must save NOW —
         # preemption grace windows are typically 30-90s.
         if preempt["hit"]:
+            _stop_profiling()
             _save_train_state(epoch, epoch_offset + n_steps, True)
             logger.info("preempted at epoch %d end: checkpoint saved, "
                         "exiting before eval", epoch + 1)
@@ -694,6 +711,7 @@ def run_train_epochs(args, trainer, state, batcher, logger, eval_fn=None,
             # full train state (params + optimizer + best tracking) so a
             # kill between epochs also resumes exactly
             _save_train_state(epoch, 0, False)
+    _stop_profiling()
     if best is not None:
         logger.info("Best: %s", best)
     mw.close()

@@ -106,8 +106,8 @@ def main(argv=None):
         num_workers=args.num_thread_reader,
     )
     trainer = common.make_trainer(args, model, len(batcher), logger)
-    state = trainer.init_state(jax.random.key(args.seed), example_batch)
-    state = state.replace(params=params)
+    state = trainer.init_state(jax.random.key(args.seed), example_batch,
+                               params=params)
 
     start_epoch, global_step, start_step_in_epoch = 0, 0, 0
     ckpt_path = os.path.join(args.output_dir, "train_state.msgpack")

@@ -58,7 +58,7 @@ def main(argv=None):
 
     import jax
 
-    from univl_tpu.data.batching import Batcher
+    from univl_tpu.data.batching import Batcher, pad_rows
     from univl_tpu.data.tokenization import WordPieceTokenizer
     from univl_tpu.evals.beam import CaptionGenerator
     from univl_tpu.evals.caption_metrics import compute_caption_metrics
@@ -75,13 +75,19 @@ def main(argv=None):
 
     eval_bs = min(args.batch_size_val, 32)
 
+    # built ONCE, outside eval_fn: the generator's jitted encode + beam
+    # decode take params as ARGUMENTS; per-epoch construction re-traced +
+    # recompiled the full bucketed decode program every eval
+    generator = CaptionGenerator(
+        model, None, tokenizer,
+        beam_size=5, max_len=args.max_words, batch_size=eval_bs,
+        fused_decode=args.fused_decode,
+        fused_vocab=getattr(args, "fused_vocab", None),
+    )
+
     def eval_fn(p, epoch=None):
-        gen = CaptionGenerator(
-            model, {"params": p}, tokenizer,
-            beam_size=5, max_len=args.max_words, batch_size=eval_bs,
-            fused_decode=args.fused_decode,
-            fused_vocab=getattr(args, "fused_vocab", None),
-        )
+        gen = generator
+        gen.params = {"params": p}
         hyps, refs = [], []
         b = Batcher(test_ds, eval_bs, shuffle=False, drop_last=False)
         keys = ("input_ids", "token_type_ids", "attention_mask", "video", "video_mask")
@@ -89,7 +95,7 @@ def main(argv=None):
         def host_iter():
             for batch in b.epoch(0):
                 n = next(iter(batch.values())).shape[0]
-                yield n, {k: _pad_rows(batch[k], eval_bs) for k in keys}
+                yield n, {k: pad_rows(batch[k], eval_bs) for k in keys}
 
         # The eval loop is transfer-bound on slow links (docs/PERF.md
         # caption e2e): generate() blocks fetching the decoded tokens, so
@@ -129,8 +135,8 @@ def main(argv=None):
             num_workers=args.num_thread_reader,
         )
         trainer = common.make_trainer(args, model, len(batcher), logger)
-        state = trainer.init_state(jax.random.key(args.seed), example_batch)
-        state = state.replace(params=params)
+        state = trainer.init_state(jax.random.key(args.seed), example_batch,
+                                   params=params)
         state, best = common.run_train_epochs(
             args, trainer, state, batcher, logger,
             eval_fn=eval_fn if args.do_eval else None,
@@ -141,13 +147,6 @@ def main(argv=None):
         metrics = eval_fn(params)
         logger.info("Caption eval: %s", metrics)
         return metrics
-
-
-def _pad_rows(x, size):
-    if x.shape[0] == size:
-        return x
-    pad = np.zeros((size - x.shape[0], *x.shape[1:]), x.dtype)
-    return np.concatenate([x, pad], axis=0)
 
 
 if __name__ == "__main__":

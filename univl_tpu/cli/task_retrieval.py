@@ -89,8 +89,15 @@ def main(argv=None):
 
     mode = "cross" if (cfg.train_sim_after_cross or cfg.stage_two) else "joint"
 
+    # built ONCE, outside eval_fn: the evaluator's jitted encode/pool/
+    # cross programs take params as ARGUMENTS, so constructing a fresh
+    # evaluator per epoch re-traced + recompiled identical programs every
+    # eval (~20-60s each over the tunnel, docs/PERF.md compile table)
+    evaluator = RetrievalEvaluator(model, None, batch_size=args.batch_size_val)
+
     def eval_fn(p, epoch=None):
-        ev = RetrievalEvaluator(model, {"params": p}, batch_size=args.batch_size_val)
+        ev = evaluator
+        ev.params = {"params": p}
         batches = eval_batches(test_ds, args.batch_size_val)
         if not getattr(args, "no_prefetch", False):
             # Overlap disk reads + tokenization with the device encode
@@ -110,8 +117,8 @@ def main(argv=None):
             num_workers=args.num_thread_reader,
         )
         trainer = common.make_trainer(args, model, len(batcher), logger)
-        state = trainer.init_state(jax.random.key(args.seed), example_batch)
-        state = state.replace(params=params)
+        state = trainer.init_state(jax.random.key(args.seed), example_batch,
+                                   params=params)
         state, best = common.run_train_epochs(
             args, trainer, state, batcher, logger,
             eval_fn=eval_fn if args.do_eval else None,

@@ -111,6 +111,16 @@ class Batcher:
                 yield batch
 
 
+def pad_rows(x: np.ndarray, size: int) -> np.ndarray:
+    """Zero-pad the leading (row) dim to ``size`` — the shared static-shape
+    helper for partial eval/serving batches (one home; the cli/evals/
+    serving copies used to drift independently)."""
+    if x.shape[0] == size:
+        return x
+    pad = np.zeros((size - x.shape[0], *x.shape[1:]), x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
 def cast_floats(batch: Dict[str, np.ndarray], dtype) -> Dict[str, np.ndarray]:
     """Cast float32 arrays (the video features) to `dtype` ON HOST before
     device transfer — halves host->device bytes at bf16. int/mask arrays

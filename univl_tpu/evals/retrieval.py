@@ -345,11 +345,7 @@ class RetrievalEvaluator:
         return metrics
 
 
-def _pad_rows(x: np.ndarray, size: int) -> np.ndarray:
-    if x.shape[0] == size:
-        return x
-    pad = np.zeros((size - x.shape[0], *x.shape[1:]), x.dtype)
-    return np.concatenate([x, pad], axis=0)
+from univl_tpu.data.batching import pad_rows as _pad_rows  # shared helper
 
 
 def _pad_rows_device(x: jax.Array, size: int) -> jax.Array:

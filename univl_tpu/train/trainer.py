@@ -122,15 +122,27 @@ class Trainer:
         self._train_step, self._train_steps = self._build_train_step(donate)
 
     # ------------------------------------------------------------ #
-    def init_state(self, rng: jax.Array, example_batch: Dict[str, jax.Array]) -> TrainState:
+    def init_state(self, rng: jax.Array, example_batch: Dict[str, jax.Array],
+                   params=None) -> TrainState:
         """Initialize params/opt_state replicated over the mesh.
 
         ``example_batch`` should be a per-device-shaped batch (no accum axis).
+
+        ``params``: use this pre-built tree (e.g. from
+        common.load_init_params) instead of tracing model.init a second
+        time (~20-60s of duplicate full-model compile over the tunnel).
+        CRITICAL for zero1 + --init_model: the optimizer state must be
+        built FROM the loaded params — the old driver pattern
+        ``init_state(...).replace(params=loaded)`` left the zero1 fp32
+        MASTER flattened from the discarded random init, silently
+        corrupting the first update (the master, not state.params, is
+        the authority the update adds into; train/zero1.py).
         """
-        variables = jax.jit(
-            lambda r: self.model.init(r, example_batch, deterministic=True)
-        )(rng)
-        params = variables["params"]
+        if params is None:
+            variables = jax.jit(
+                lambda r: self.model.init(r, example_batch, deterministic=True)
+            )(rng)
+            params = variables["params"]
         opt_state = self.tx.init(params)
         state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros([], jnp.int32))
         if self.zero1:
