@@ -107,15 +107,12 @@ class RetrievalEvaluator:
         return np.asarray(x, dtype) if dtype is not None else np.asarray(x)
 
     # ------------------------------------------------------------ #
-    def encode_dataset(
-        self, batches: Iterator[Dict[str, np.ndarray]], store_full: bool = True
-    ):
-        """Pass 1: encode all clips; returns host-side arrays.
-
-        ``store_full=False`` keeps only the pooled embeddings (all the joint
-        mode needs) — full [N, L, H] encoder outputs are only transferred for
-        FT-Align rescoring."""
-        seqs, viss, ams, vms, texts, videos = [], [], [], [], [], []
+    def _encoded_batches(self, batches: Iterator[Dict[str, np.ndarray]]):
+        """Shared pass-1 loop: pad each batch to a mesh-divisible size, shard
+        its rows, encode, and mean-pool. Yields ``(batch, n, seq, vis, t, v)``
+        with ``n`` the unpadded row count. Consumed by :meth:`encode_dataset`
+        (host-side outputs) and :meth:`encode_dataset_device` (HBM-resident
+        outputs) — only where the results land differs between the two."""
         for batch in batches:
             # pad to a multiple of the mesh so the batch dim shards evenly
             size = self.batch_size
@@ -132,6 +129,18 @@ class RetrievalEvaluator:
                 batch["attention_mask"], batch["video"], batch["video_mask"],
             )
             t, v = self._pool(seq, vis, batch["attention_mask"], batch["video_mask"])
+            yield batch, n, seq, vis, t, v
+
+    def encode_dataset(
+        self, batches: Iterator[Dict[str, np.ndarray]], store_full: bool = True
+    ):
+        """Pass 1: encode all clips; returns host-side arrays.
+
+        ``store_full=False`` keeps only the pooled embeddings (all the joint
+        mode needs) — full [N, L, H] encoder outputs are only transferred for
+        FT-Align rescoring."""
+        seqs, viss, ams, vms, texts, videos = [], [], [], [], [], []
+        for batch, n, seq, vis, t, v in self._encoded_batches(batches):
             if store_full:
                 seqs.append(self._host(seq, np.float32)[:n])
                 viss.append(self._host(vis, np.float32)[:n])
@@ -185,22 +194,7 @@ class RetrievalEvaluator:
         ~6% of one v5e's HBM. With a mesh, encode batches shard over the
         dp axis (same fan-out as encode_dataset)."""
         seqs, viss, ams, vms, texts, videos = [], [], [], [], [], []
-        for batch in batches:
-            size = self.batch_size
-            if self._n_dev > 1:
-                size = ((size + self._n_dev - 1) // self._n_dev) * self._n_dev
-            batch, n = _pad_batch(batch, size)
-            if self._shard_rows is not None:
-                batch = {
-                    k: jax.device_put(v, self._shard_rows)
-                    for k, v in batch.items()
-                }
-            seq, vis = self._encode(
-                self.params,
-                batch["input_ids"], batch["token_type_ids"],
-                batch["attention_mask"], batch["video"], batch["video_mask"],
-            )
-            t, v = self._pool(seq, vis, batch["attention_mask"], batch["video_mask"])
+        for batch, n, seq, vis, t, v in self._encoded_batches(batches):
             seqs.append(seq[:n])
             viss.append(vis[:n])
             ams.append(jnp.asarray(batch["attention_mask"])[:n])
